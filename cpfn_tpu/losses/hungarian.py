@@ -1,0 +1,78 @@
+"""Hungarian matching of predicted membership columns to GT instances.
+
+The reference loops over the batch on the host, syncing the device every step
+(`losses_implementation.py:11-30`: per-element `.cpu().numpy()` +
+scipy.linear_sum_assignment). Here the RIoU cost matrix is built fully
+on-device in one einsum, and a single batched `jax.pure_callback` dispatches
+the assignment to the C++ host library (`cpfn_tpu.native.lsa_minimize_batch`,
+scipy fallback) — one host round trip per train step instead of B.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def riou_matching_cost(W: jax.Array, I_gt: jax.Array):
+    """Relaxed-IoU profit matrix between GT instances and predicted columns.
+
+    Args:
+      W: [B, N, K] soft membership (rows ~ softmax).
+      I_gt: [B, N] int labels in [-1, K); -1 is background.
+    Returns:
+      (iou [B, K, K], n_gt [B]): iou[b, k_gt, k_pred]; n_gt = max label + 1.
+
+    Matches `losses_implementation.py:19-26`: W_gt is the one-hot of I_gt
+    (background row zero), profit = dot / (|gt| + |pred| - dot), guarded.
+    """
+    K = W.shape[-1]
+    W_gt = jax.nn.one_hot(I_gt, K, dtype=W.dtype)  # -1 -> zero row
+    dot = jnp.einsum("bnk,bnj->bkj", W_gt, W, precision="highest")
+    denom = (
+        jnp.sum(W_gt, axis=1)[:, :, None]
+        + jnp.sum(W, axis=1)[:, None, :]
+        - dot
+    )
+    iou = dot / jnp.maximum(denom, 1e-10)
+    n_gt = jnp.max(I_gt, axis=1) + 1
+    return iou, n_gt.astype(jnp.int32)
+
+
+def _host_lsa(neg_iou: np.ndarray, n_gt: np.ndarray) -> np.ndarray:
+    from cpfn_tpu import native
+
+    return native.lsa_minimize_batch(
+        np.asarray(neg_iou, np.float32), np.asarray(n_gt, np.int32)
+    )
+
+
+def hungarian_matching(W: jax.Array, I_gt: jax.Array) -> jax.Array:
+    """matching_indices [B, K] int32: GT instance k -> predicted column.
+
+    Only the first n_gt[b] entries of each row are meaningful (rest are 0),
+    as in the reference. Gradient-free (index output).
+    """
+    iou, n_gt = riou_matching_cost(W, I_gt)
+    B, K, _ = iou.shape
+    out = jax.pure_callback(
+        _host_lsa,
+        jax.ShapeDtypeStruct((B, K), jnp.int32),
+        jax.lax.stop_gradient(-iou),
+        n_gt,
+        vmap_method="sequential",
+    )
+    return out
+
+
+def hungarian_matching_with_mask(W: jax.Array, I_gt: jax.Array):
+    """As `hungarian_matching`, plus the valid-instance mask [B, K] (bool).
+
+    Mirrors the metrics variant (`metric_implementation.py:9-30`).
+    """
+    matching = hungarian_matching(W, I_gt)
+    K = W.shape[-1]
+    n_gt = jnp.max(I_gt, axis=1) + 1
+    mask = jnp.arange(K)[None, :] < n_gt[:, None]
+    return matching, mask
