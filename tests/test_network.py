@@ -1,0 +1,101 @@
+"""PointNet++ backbone: shape, state, and head-config tests on tiny configs."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpfn_tpu.nn import PointNet2Config, apply_pointnet2, init_pointnet2
+from cpfn_tpu.nn.pointnet2 import spfn_postprocess
+
+TINY = dict(
+    sa1_points=32, sa2_points=8, sa1_samples=8, sa2_samples=8,
+    sa1_mlp=(16, 16), sa2_mlp=(32, 32), sa3_mlp=(32, 64),
+    fp1_mlp=(32, 32), fp2_mlp=(32, 32), fp3_mlp=(32, 32, 32), fc_dim=32,
+)
+
+
+def test_forward_shapes_spfn(rng):
+    cfg = PointNet2Config(output_sizes=(3, 4, 7), **TINY)
+    key = jax.random.PRNGKey(0)
+    params, state = init_pointnet2(key, cfg)
+    P = jnp.array(rng.randn(2, 128, 3), jnp.float32)
+    out, new_state = apply_pointnet2(
+        params, state, cfg, P, train=True, rng=key, bn_momentum=0.5
+    )
+    assert [h.shape for h in out["heads"]] == [
+        (2, 128, 3), (2, 128, 4), (2, 128, 7),
+    ]
+    assert out["global_feat"].shape == (2, 64)
+    assert out["point_feat"].shape == (2, 128, 32)
+    X, T, W = spfn_postprocess(out)
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(X), axis=-1), 1.0, atol=1e-5
+    )
+    np.testing.assert_allclose(np.asarray(W).sum(-1), 1.0, atol=1e-5)
+    # train mode must update BN state
+    diff = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state, new_state
+    )
+    assert max(jax.tree_util.tree_leaves(diff)) > 0
+
+
+def test_eval_deterministic(rng):
+    cfg = PointNet2Config(output_sizes=(2,), **TINY)
+    params, state = init_pointnet2(jax.random.PRNGKey(1), cfg)
+    P = jnp.array(rng.randn(2, 64, 3), jnp.float32)
+    out1, st1 = apply_pointnet2(params, state, cfg, P, train=False)
+    out2, st2 = apply_pointnet2(params, state, cfg, P, train=False)
+    np.testing.assert_array_equal(
+        np.asarray(out1["heads"][0]), np.asarray(out2["heads"][0])
+    )
+    # eval mode must NOT update BN state
+    same = jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.all(a == b)), state, st1
+    )
+    assert all(jax.tree_util.tree_leaves(same))
+
+
+def test_injected_features(rng):
+    cfg = PointNet2Config(
+        output_sizes=(3, 4, 5), use_glob_features=True, use_loc_features=True,
+        **TINY,
+    )
+    params, state = init_pointnet2(jax.random.PRNGKey(2), cfg)
+    P = jnp.array(rng.randn(2, 64, 3), jnp.float32)
+    glob = jnp.array(rng.randn(2, cfg.glob_feature_dim), jnp.float32)
+    loc = jnp.array(rng.randn(2, cfg.loc_feature_dim), jnp.float32)
+    out, _ = apply_pointnet2(
+        params, state, cfg, P, glob_features=glob, loc_features=loc,
+        train=False,
+    )
+    assert out["global_feat"].shape == (
+        2, cfg.sa3_mlp[-1] + cfg.glob_feature_dim + cfg.loc_feature_dim,
+    )
+
+
+def test_features_extractor_mode(rng):
+    cfg = PointNet2Config(output_sizes=(2,), features_extractor=True, **TINY)
+    params, state = init_pointnet2(jax.random.PRNGKey(3), cfg)
+    P = jnp.array(rng.randn(1, 64, 3), jnp.float32)
+    out, _ = apply_pointnet2(params, state, cfg, P, train=False)
+    assert out["heads"] == []
+    assert out["point_feat"].shape == (1, 64, 32)
+
+
+def test_grad_flows_through_network(rng):
+    cfg = PointNet2Config(output_sizes=(3,), **TINY)
+    params, state = init_pointnet2(jax.random.PRNGKey(4), cfg)
+    P = jnp.array(rng.randn(2, 64, 3), jnp.float32)
+
+    def loss(params):
+        out, _ = apply_pointnet2(
+            params, state, cfg, P, train=True,
+            rng=jax.random.PRNGKey(5), bn_momentum=0.5,
+        )
+        return jnp.sum(out["heads"][0] ** 2)
+
+    g = jax.grad(loss)(params)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
+    # at least the head weights must receive nonzero gradient
+    assert float(jnp.max(jnp.abs(g["heads"][0]["w"]))) > 0
