@@ -1,0 +1,138 @@
+"""End-to-end slice: synthetic scenes -> jitted SPFN train step -> loss drops.
+Also HDF5 round-trip of the synthetic writer through the TraceParts reader."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpfn_tpu.data import (
+    SyntheticSceneConfig,
+    make_synthetic_batch,
+    make_synthetic_scene,
+    write_scene_hdf5,
+)
+from cpfn_tpu.data.hdf5 import read_spfn_hdf5
+from cpfn_tpu.fitting import factory
+from cpfn_tpu.nn import PointNet2Config, init_pointnet2
+from cpfn_tpu.train import (
+    SPFNTrainConfig,
+    init_optimizer,
+    make_spfn_train_step,
+    make_patch_selection_train_step,
+)
+from cpfn_tpu.train.schedules import batch_norm_momentum, staircase_learning_rate
+
+TINY_MODEL = dict(
+    sa1_points=32, sa2_points=8, sa1_samples=8, sa2_samples=8,
+    sa1_mlp=(16, 16), sa2_mlp=(32, 32), sa3_mlp=(32, 64),
+    fp1_mlp=(32, 32), fp2_mlp=(32, 32), fp3_mlp=(32, 32, 32), fc_dim=32,
+)
+SCENE = SyntheticSceneConfig(
+    n_points=256, n_max_instances=6, min_instances=2, max_instances=4,
+    n_gt_points_per_instance=64, include_small_primitive=False,
+)
+
+
+def test_schedules():
+    lr = staircase_learning_rate(1e-3, 16, 200000, 0.7)
+    assert abs(float(lr(0)) - 1e-3) < 1e-8
+    assert abs(float(lr(200000 // 16 + 1)) - 7e-4) < 1e-8
+    bn = batch_norm_momentum(16, 200000)
+    assert abs(float(bn(0)) - 0.5) < 1e-7
+    assert abs(float(bn(200000 // 16 + 1)) - 0.25) < 1e-7
+    # clip at 0.01
+    assert abs(float(bn(10**9)) - 0.01) < 1e-7
+
+
+def test_spfn_train_loss_decreases(rng):
+    factory.register_primitives(list(SCENE.classes))
+    model_cfg = PointNet2Config(
+        output_sizes=(3, 4, SCENE.n_max_instances), **TINY_MODEL
+    )
+    train_cfg = SPFNTrainConfig(batch_size=4, classes=SCENE.classes)
+    params, state = init_pointnet2(jax.random.PRNGKey(0), model_cfg)
+    opt = init_optimizer(train_cfg)
+    opt_state = opt.init(params)
+    step_fn = jax.jit(make_spfn_train_step(model_cfg, train_cfg, optimizer=opt))
+
+    batch = make_synthetic_batch(rng, 4, SCENE)
+    batch = {k: jnp.array(v) for k, v in batch.items()}
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, metrics = step_fn(
+            params, state, opt_state, batch, jnp.int32(i), sub
+        )
+        losses.append(float(metrics["total_loss"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.95, losses
+
+
+def test_patch_selection_train_step(rng):
+    # dropout off: the tiny test network has too little capacity to beat
+    # p=0.5 dropout noise in a few dozen steps
+    model_cfg = PointNet2Config(
+        output_sizes=(2,), dropout_rate=0.0, **TINY_MODEL
+    )
+    train_cfg = SPFNTrainConfig(batch_size=4)
+    params, state = init_pointnet2(jax.random.PRNGKey(0), model_cfg)
+    opt = init_optimizer(train_cfg)
+    opt_state = opt.init(params)
+    step_fn = jax.jit(
+        make_patch_selection_train_step(model_cfg, train_cfg, optimizer=opt)
+    )
+    P = jnp.array(rng.randn(4, 128, 3), jnp.float32)
+    # learnable signal: label = x > 0
+    labels = (np.asarray(P)[..., 0] > 0).astype(np.int64)
+    batch = {"P": P, "labels": jnp.array(labels)}
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(100):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, m = step_fn(
+            params, state, opt_state, batch, jnp.int32(i), sub
+        )
+        losses.append(float(m["total_loss"]))
+    assert np.mean(losses[-10:]) < np.mean(losses[:10]) * 0.92, losses
+
+
+def test_hdf5_roundtrip(rng, tmp_path):
+    factory.register_primitives(list(SCENE.classes))
+    scene = make_synthetic_scene(rng, SCENE)
+    path = os.path.join(tmp_path, "cloud.h5")
+    write_scene_hdf5(path, scene)
+    rec = read_spfn_hdf5(path, SCENE.n_max_instances, noisy=False, shuffle=False)
+    assert rec is not None
+    np.testing.assert_allclose(rec["P"], scene["P"], atol=1e-6)
+    np.testing.assert_array_equal(rec["I_gt"], scene["I_gt"])
+    np.testing.assert_array_equal(rec["T_gt"], scene["T_gt"])
+    np.testing.assert_allclose(
+        rec["plane_n_gt"], scene["plane_n_gt"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        rec["cylinder_axis_gt"], scene["cylinder_axis_gt"], atol=1e-6
+    )
+
+
+def test_batch_iterator(rng, tmp_path):
+    from cpfn_tpu.data import GlobalSPFNDataset, batch_iterator
+
+    factory.register_primitives(list(SCENE.classes))
+    files = []
+    for i in range(5):
+        scene = make_synthetic_scene(rng, SCENE)
+        path = os.path.join(tmp_path, f"c{i}.h5")
+        write_scene_hdf5(path, scene)
+        files.append(path)
+    ds = GlobalSPFNDataset(
+        files, SCENE.n_max_instances, noisy=True, n_points=256, preload=True
+    )
+    batches = list(
+        batch_iterator(ds, 2, rng=np.random.RandomState(0), shuffle=True)
+    )
+    assert len(batches) == 2
+    assert batches[0]["P"].shape == (2, 256, 3)
+    assert batches[0]["T_gt"].shape == (2, SCENE.n_max_instances)
