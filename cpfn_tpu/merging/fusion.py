@@ -1,0 +1,207 @@
+"""Cross-scale instance fusion: merge per-patch LocalSPFN segmentations with
+the GlobalSPFN segmentation into one labeling of the full high-res cloud.
+
+Re-designs `Utils/merging_utils.py` + the fusion block of
+`evaluation_localSPFN.py:94-139` for TPU: the point x primitive membership
+matrix and its co-occurrence Gram matrix are built on device (one scatter +
+one MXU matmul instead of a Python loop over patches), while the greedy
+agglomeration — inherently sequential — runs in the C++ host library
+(`cpfn_tpu.native.heuristic_merge_solver`, NumPy fallback).
+
+Column layout of the membership matrix: patch p's K_local columns occupy
+[p*K_local, (p+1)*K_local), the global K_global columns come last.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpfn_tpu import native
+
+
+@functools.partial(jax.jit, static_argnames=("n_global_points",))
+def _membership_matrix(
+    spfn_labels: jax.Array,
+    predicted_labels: jax.Array,
+    point_indices: jax.Array,
+    n_global_points: int,
+):
+    """[N, P*K_l + K_g] membership matrix (scatter-add; patch blocks are
+    disjoint in columns and patch indices are unique within a patch, so add
+    and assign coincide — the reference uses both interchangeably)."""
+    P, n, K_l = predicted_labels.shape
+    N = n_global_points
+    patch_block = jnp.zeros((N, P, K_l), predicted_labels.dtype)
+    patch_block = patch_block.at[
+        point_indices, jnp.arange(P)[:, None]
+    ].add(predicted_labels)
+    return jnp.concatenate(
+        [patch_block.reshape(N, P * K_l), spfn_labels], axis=1
+    )
+
+
+def similarity_soft(
+    spfn_labels: jax.Array,
+    predicted_labels: jax.Array,
+    point_indices: jax.Array,
+) -> jax.Array:
+    """Primitive-pair co-occurrence M^T M (cf. `merging_utils.py:6-15`).
+
+    spfn_labels: [N, K_g] global membership (one-hot or soft).
+    predicted_labels: [P, n, K_l] per-patch soft membership.
+    point_indices: [P, n] int indices into the high-res cloud.
+    Returns [C, C] with C = P*K_l + K_g.
+    """
+    M = _membership_matrix(
+        spfn_labels, predicted_labels, point_indices, spfn_labels.shape[0]
+    )
+    return jnp.einsum("nc,nd->cd", M, M, preferred_element_type=jnp.float32)
+
+
+def run_heuristic_solver(
+    similarity_matrix: np.ndarray,
+    nb_patches: int,
+    max_label_per_object: int,
+    max_label_per_patch: int,
+    threshold: float = 0,
+) -> np.ndarray:
+    """Greedy merge on the host; returns int64 cluster ids [C]."""
+    return native.heuristic_merge_solver(
+        np.asarray(similarity_matrix, np.float64),
+        nb_patches,
+        max_label_per_object,
+        max_label_per_patch,
+        threshold,
+    )
+
+
+def get_point_final(
+    point2primitive: jax.Array, labels: jax.Array, n_clusters: int
+) -> jax.Array:
+    """Fused per-point cluster scores (cf. `merging_utils.py:49-53`).
+
+    point2primitive: [N, C]; labels: [C] cluster ids; n_clusters static.
+    Each cluster column is the count-normalized sum of its member primitives'
+    membership columns.
+    """
+    one_hot = jax.nn.one_hot(labels, n_clusters, dtype=point2primitive.dtype)
+    one_hot = one_hot / (jnp.sum(one_hot, axis=0, keepdims=True) + 1e-10)
+    return jnp.matmul(
+        point2primitive, one_hot, preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_global_points",))
+def _fusion_inputs(
+    spfn_labels, patch_W, patch_indices, n_global_points
+):
+    """Device-side pieces that don't depend on the solver output: the
+    similarity Gram matrix and the assignment membership matrix with global
+    columns zeroed on patch-covered points (evaluation_localSPFN.py:103-109).
+    """
+    P, n, K_l = patch_W.shape
+    M = _membership_matrix(
+        spfn_labels, patch_W, patch_indices, n_global_points
+    )
+    similarity = jnp.einsum("nc,nd->cd", M, M, preferred_element_type=jnp.float32)
+    covered = jnp.sum(M[:, : P * K_l], axis=1) > 0
+    point2primitive = M.at[:, P * K_l :].multiply(
+        (~covered)[:, None].astype(M.dtype)
+    )
+    return similarity, point2primitive
+
+
+@functools.partial(jax.jit, static_argnames=("n_types",))
+def _fuse_normals_types(
+    patch_X, patch_T, patch_indices, spfn_normals, spfn_type, n_types
+):
+    """Scatter-add patch normals/types onto the cloud; fall back to the
+    global predictions on uncovered points (evaluation_localSPFN.py:112-130).
+    """
+    N = spfn_normals.shape[0]
+    flat_idx = patch_indices.reshape(-1)
+    X_global = jnp.zeros_like(spfn_normals).at[flat_idx].add(
+        patch_X.reshape(-1, 3)
+    )
+    empty = jnp.all(X_global == 0, axis=1)
+    X_global = jnp.where(empty[:, None], spfn_normals, X_global)
+    X_global = X_global / jnp.maximum(
+        jnp.linalg.norm(X_global, axis=1, keepdims=True), 1e-12
+    )
+    num = jnp.zeros((N, n_types), patch_T.dtype).at[flat_idx].add(
+        patch_T.reshape(-1, n_types)
+    )
+    den = jnp.zeros((N,), patch_T.dtype).at[flat_idx].add(1.0)
+    T_global = num / jnp.maximum(den, 1.0)[:, None]
+    T_global = jnp.where(empty[:, None], spfn_type, T_global)
+    return X_global, T_global
+
+
+def fuse_cascade(
+    patch_W: np.ndarray,
+    patch_X: np.ndarray,
+    patch_T: np.ndarray,
+    patch_indices: np.ndarray,
+    spfn_labels: np.ndarray,
+    spfn_normals: np.ndarray,
+    spfn_type: np.ndarray,
+    n_max_global_instances: int,
+    n_max_local_instances: int,
+    threshold: float = 0,
+):
+    """Full cascade fusion for one cloud.
+
+    patch_W/X/T: [P, n, K_l] / [P, n, 3] / [P, n, Q] LocalSPFN outputs
+    (softmax W, unit X). patch_indices: [P, n]. spfn_labels: [N, K_g]
+    hard global segmentation; spfn_normals [N, 3]; spfn_type [N, Q].
+    P may be 0 (global-only fallback).
+
+    Returns (W_fusion [N, K_g], X_global [N, 3], T_global [N, Q]):
+    fused membership after dropping clusters supported by <= 1 point-mass and
+    re-padding to K_g columns (evaluation_localSPFN.py:131-139).
+    """
+    N, K_g = spfn_labels.shape
+    P = patch_W.shape[0]
+    if P == 0:
+        # one-hot of argmax, as the reference's global-only branch
+        hard = np.argmax(spfn_labels, axis=1)
+        W_fusion = np.eye(K_g, dtype=np.float32)[hard]
+        return W_fusion, np.asarray(spfn_normals), np.asarray(spfn_type)
+
+    similarity, point2primitive = _fusion_inputs(
+        jnp.asarray(spfn_labels, jnp.float32),
+        jnp.asarray(patch_W, jnp.float32),
+        jnp.asarray(patch_indices, jnp.int32),
+        N,
+    )
+    labels = run_heuristic_solver(
+        np.asarray(similarity),
+        P,
+        n_max_global_instances,
+        n_max_local_instances,
+        threshold,
+    )
+    C = labels.shape[0]
+    fused = get_point_final(
+        point2primitive, jnp.asarray(labels, jnp.int32), C
+    )
+    n_clusters = int(labels.max()) + 1
+    fused = np.asarray(fused)[:, :n_clusters]
+    fused = fused[:, fused.sum(axis=0) > 1]
+    if fused.shape[1] < K_g:
+        fused = np.concatenate(
+            [fused, np.zeros((N, K_g - fused.shape[1]), fused.dtype)], axis=1
+        )
+    X_global, T_global = _fuse_normals_types(
+        jnp.asarray(patch_X, jnp.float32),
+        jnp.asarray(patch_T, jnp.float32),
+        jnp.asarray(patch_indices, jnp.int32),
+        jnp.asarray(spfn_normals, jnp.float32),
+        jnp.asarray(spfn_type, jnp.float32),
+        spfn_type.shape[1],
+    )
+    return fused, np.asarray(X_global), np.asarray(T_global)
