@@ -1,0 +1,15 @@
+from cpfn_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+    make_sharded_spfn_train_step,
+    make_patch_parallel_forward,
+)
+
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+    "make_sharded_spfn_train_step",
+    "make_patch_parallel_forward",
+]

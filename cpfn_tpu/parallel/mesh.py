@@ -1,0 +1,110 @@
+"""Device-mesh parallelism for CPFN training and cascaded inference.
+
+The reference is strictly single-GPU (SURVEY.md §2.3: no torch.distributed,
+no collectives anywhere); scaling here is TPU-native from the start:
+
+- **Data parallelism (`dp`)**: the cloud batch is sharded over the mesh;
+  the train step runs under `shard_map` with replicated params, `psum`-mean
+  gradients over ICI, and cross-device (sync) batch norm.
+- **Patch parallelism**: the cascade's <=32 local patches of one high-res
+  cloud are a batch axis with no cross-patch interaction until fusion — the
+  CPFN analogue of sequence parallelism. LocalSPFN inference shards the
+  patch axis over the same mesh.
+
+Hungarian matching stays a `pure_callback`; under shard_map each device
+dispatches its local shard's cost matrices to the host solver independently.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from cpfn_tpu.nn import PointNet2Config, apply_pointnet2
+from cpfn_tpu.nn.pointnet2 import spfn_postprocess
+from cpfn_tpu.train.steps import SPFNTrainConfig, make_spfn_train_step
+
+
+def make_mesh(n_devices: int | None = None, axis_name: str = "dp") -> Mesh:
+    """1-D mesh over the first `n_devices` devices (default: all)."""
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.array(devices), (axis_name,))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "dp") -> dict:
+    """Shard every batch array along its leading (batch) axis."""
+    sharding = NamedSharding(mesh, P(axis_name))
+    return jax.device_put(batch, sharding)
+
+
+def make_sharded_spfn_train_step(
+    model_cfg: PointNet2Config,
+    train_cfg: SPFNTrainConfig,
+    mesh: Mesh,
+    optimizer=None,
+    axis_name: str = "dp",
+):
+    """Data-parallel SPFN train step over `mesh`.
+
+    Per-device batch = global batch / mesh size (the global batch axis must
+    divide the mesh). Params/state/opt_state are replicated; gradients are
+    pmean'ed over ICI inside the step; BN statistics are synchronized.
+
+    Returns step(params, state, opt_state, batch, step_idx, rng) with the
+    same signature as the single-device step.
+    """
+    inner = make_spfn_train_step(
+        model_cfg, train_cfg, optimizer=optimizer, axis_name=axis_name
+    )
+
+    def wrapped(params, state, opt_state, batch, step_idx, rng):
+        # Same dropout key on every device: with sync BN + pmean'ed grads the
+        # replicated state stays bitwise identical across the mesh.
+        return inner(params, state, opt_state, batch, step_idx, rng)
+
+    sharded = jax.shard_map(
+        wrapped,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(axis_name), P(), P()),
+        out_specs=(P(), P(), P(), P()),
+        check_vma=False,  # pure_callback inside (Hungarian host dispatch)
+    )
+    return jax.jit(sharded)
+
+
+def make_patch_parallel_forward(
+    model_cfg: PointNet2Config, mesh: Mesh, axis_name: str = "dp"
+):
+    """LocalSPFN inference with the patch axis sharded over the mesh.
+
+    Returns forward(params, state, patches [P, n, 3], glob [P, Gd] | None,
+    loc [P, Ld] | None) -> (X, T, W) with every output sharded on the patch
+    axis; P must be a multiple of the mesh size (pad with dummy patches and
+    mask at the caller).
+    """
+
+    def fwd(params, state, patches, glob_features, loc_features):
+        out, _ = apply_pointnet2(
+            params, state, model_cfg, patches,
+            glob_features=glob_features, loc_features=loc_features,
+            train=False,
+        )
+        return spfn_postprocess(out)
+
+    sharded = jax.shard_map(
+        fwd,
+        mesh=mesh,
+        in_specs=(P(), P(), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
