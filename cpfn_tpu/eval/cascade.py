@@ -1,0 +1,196 @@
+"""The cascaded CPFN inference pipeline — the framework's north-star path.
+
+Per high-res cloud (cf. `evaluation_globalSPFN.py` + `evaluation_PatchSelection.py`
++ `evaluation_localSPFN.py`, collapsed into one in-memory pipeline instead of
+three CLIs communicating through .npy artifacts):
+
+  1. GlobalSPFN forward on the full ~100k-point cloud -> hard segmentation,
+     normals, type scores (plus the global/per-point features).
+  2. PatchSelection forward on the normalized low-res cloud -> per-point
+     small-primitive heatmap -> greedy NN patch extraction (host).
+  3. LocalSPFN forward on the patch stack (padded to a fixed width of
+     `max_patches` so one compiled graph serves every cloud; a validity mask
+     zeroes padding downstream).
+  4. Cross-scale fusion (device similarity + C++ greedy merge).
+
+All device stages are jitted once with static shapes; the only host work is
+patch extraction and the greedy merge.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpfn_tpu.eval.sampling import sample_patches
+from cpfn_tpu.merging import fuse_cascade
+from cpfn_tpu.metrics import hard_W_encoding
+from cpfn_tpu.nn import PointNet2Config, apply_pointnet2
+from cpfn_tpu.nn.pointnet2 import spfn_postprocess
+
+
+@dataclasses.dataclass
+class ModelBundle:
+    cfg: PointNet2Config
+    params: Any
+    state: Any
+
+
+class CascadeRunner:
+    def __init__(
+        self,
+        global_model: ModelBundle,
+        patchselec_model: ModelBundle | None,
+        local_model: ModelBundle,
+        *,
+        n_max_global_instances: int = 28,
+        n_max_local_instances: int = 21,
+        num_points_patch: int = 8192,
+        max_patches: int = 32,
+        scale: float = 0.05,
+    ):
+        self.global_model = global_model
+        self.patchselec_model = patchselec_model
+        self.local_model = local_model
+        self.n_max_global = n_max_global_instances
+        self.n_max_local = n_max_local_instances
+        self.num_points_patch = num_points_patch
+        self.max_patches = max_patches
+        self.scale = scale
+
+        def global_fwd(params, state, P):
+            out, _ = apply_pointnet2(
+                params, state, global_model.cfg, P[None], train=False
+            )
+            X, T, W = spfn_postprocess(out)
+            W_hard = hard_W_encoding(W)
+            return (
+                X[0], T[0], W_hard[0],
+                out["global_feat"][0], out["point_feat"][0],
+            )
+
+        self._global_fwd = jax.jit(global_fwd)
+
+        if patchselec_model is not None:
+            def ps_fwd(params, state, P):
+                out, _ = apply_pointnet2(
+                    params, state, patchselec_model.cfg, P[None], train=False
+                )
+                return jnp.argmax(out["heads"][0][0], axis=-1)
+
+            self._ps_fwd = jax.jit(ps_fwd)
+
+        def local_fwd(params, state, patches):
+            out, _ = apply_pointnet2(
+                params, state, local_model.cfg, patches, train=False
+            )
+            return spfn_postprocess(out)
+
+        self._local_fwd = jax.jit(local_fwd)
+
+        def normalize_patches(P_hr, idx):
+            raw = P_hr[idx]  # [P, n, 3]
+            mean = jnp.mean(raw, axis=1, keepdims=True)
+            centered = raw - mean
+            norm = jnp.max(
+                jnp.linalg.norm(centered, axis=2, keepdims=True),
+                axis=1, keepdims=True,
+            )
+            return centered / jnp.maximum(norm, 1e-12)
+
+        self._normalize_patches = jax.jit(normalize_patches)
+
+        def normalize_cloud(P):
+            P = P - jnp.mean(P, axis=0)
+            return P / jnp.maximum(
+                jnp.max(jnp.linalg.norm(P, axis=1)), 1e-12
+            )
+
+        self._normalize_cloud = jax.jit(normalize_cloud)
+
+    def select_pool(self, P_lr: jax.Array) -> np.ndarray:
+        """PatchSelection heatmap -> pool indices into the low-res cloud."""
+        m = self.patchselec_model
+        labels = self._ps_fwd(
+            m.params, m.state, self._normalize_cloud(P_lr)
+        )
+        return np.where(np.asarray(labels))[0]
+
+    def run_cloud(
+        self,
+        P_hr: np.ndarray,
+        P_lr: np.ndarray,
+        pool_indices: np.ndarray | None = None,
+        rng: np.random.RandomState | None = None,
+    ) -> dict:
+        """Full cascade on one cloud.
+
+        P_hr: [N, 3] high-res points (the model input resolution/noise level);
+        P_lr: [n_lr, 3] low-res FPS subsample (preprocessing artifact).
+        pool_indices: optional precomputed patch pool (GT-oracle mode,
+        evaluation_PatchSelection.py scale>=1); otherwise the patch-selection
+        network picks it.
+        Returns dict with fused 'W' [N, K_g], 'X' [N, 3], 'T' [N, Q], the
+        global stage outputs, and 'patch_indices'/'n_patches'.
+        """
+        g = self.global_model
+        P_hr_j = jnp.asarray(P_hr, jnp.float32)
+        X_g, T_g, W_hard, global_feat, point_feat = self._global_fwd(
+            g.params, g.state, P_hr_j
+        )
+        if pool_indices is None:
+            pool_indices = self.select_pool(jnp.asarray(P_lr, jnp.float32))
+
+        if len(pool_indices) > 0:
+            patch_idx = sample_patches(
+                P_lr, P_hr, pool_indices,
+                num_points_patch=self.num_points_patch,
+                max_number_patches=self.max_patches,
+                rng=rng,
+            )
+        else:
+            patch_idx = np.zeros((0, self.num_points_patch), np.int64)
+        n_patches = patch_idx.shape[0]
+
+        if n_patches > 0:
+            padded_idx = np.zeros(
+                (self.max_patches, self.num_points_patch), np.int64
+            )
+            padded_idx[:n_patches] = patch_idx
+            mask = np.zeros((self.max_patches,), np.float32)
+            mask[:n_patches] = 1.0
+            idx_j = jnp.asarray(padded_idx, jnp.int32)
+            patches = self._normalize_patches(P_hr_j, idx_j)
+            lm = self.local_model
+            X_p, T_p, W_p = self._local_fwd(lm.params, lm.state, patches)
+            W_f, X_f, T_f = fuse_cascade(
+                W_p, X_p, T_p, idx_j,
+                np.asarray(W_hard), np.asarray(X_g), np.asarray(T_g),
+                self.n_max_global, self.n_max_local,
+                patch_mask=mask,
+            )
+        else:
+            W_f, X_f, T_f = fuse_cascade(
+                np.zeros((0, self.num_points_patch, self.n_max_local), np.float32),
+                np.zeros((0, self.num_points_patch, 3), np.float32),
+                np.zeros((0, self.num_points_patch, T_g.shape[-1]), np.float32),
+                np.zeros((0, self.num_points_patch), np.int64),
+                np.asarray(W_hard), np.asarray(X_g), np.asarray(T_g),
+                self.n_max_global, self.n_max_local,
+            )
+        return {
+            "W": W_f,
+            "X": X_f,
+            "T": T_f,
+            "global_W": np.asarray(W_hard),
+            "global_X": np.asarray(X_g),
+            "global_T": np.asarray(T_g),
+            "global_feat": np.asarray(global_feat),
+            "point_feat": np.asarray(point_feat),
+            "patch_indices": patch_idx,
+            "n_patches": n_patches,
+        }

@@ -117,15 +117,22 @@ def _fusion_inputs(
 
 @functools.partial(jax.jit, static_argnames=("n_types",))
 def _fuse_normals_types(
-    patch_X, patch_T, patch_indices, spfn_normals, spfn_type, n_types
+    patch_X, patch_T, patch_indices, spfn_normals, spfn_type, n_types,
+    patch_mask=None,
 ):
     """Scatter-add patch normals/types onto the cloud; fall back to the
     global predictions on uncovered points (evaluation_localSPFN.py:112-130).
+    `patch_mask` [P] zeroes the contribution of padding patches so the patch
+    axis can stay at a fixed (compile-friendly) width.
     """
     N = spfn_normals.shape[0]
+    P, n, _ = patch_X.shape
+    if patch_mask is None:
+        patch_mask = jnp.ones((P,), patch_X.dtype)
+    m = patch_mask[:, None, None]
     flat_idx = patch_indices.reshape(-1)
     X_global = jnp.zeros_like(spfn_normals).at[flat_idx].add(
-        patch_X.reshape(-1, 3)
+        (patch_X * m).reshape(-1, 3)
     )
     empty = jnp.all(X_global == 0, axis=1)
     X_global = jnp.where(empty[:, None], spfn_normals, X_global)
@@ -133,9 +140,11 @@ def _fuse_normals_types(
         jnp.linalg.norm(X_global, axis=1, keepdims=True), 1e-12
     )
     num = jnp.zeros((N, n_types), patch_T.dtype).at[flat_idx].add(
-        patch_T.reshape(-1, n_types)
+        (patch_T * m).reshape(-1, n_types)
     )
-    den = jnp.zeros((N,), patch_T.dtype).at[flat_idx].add(1.0)
+    den = jnp.zeros((N,), patch_T.dtype).at[flat_idx].add(
+        jnp.broadcast_to(m, (P, n, 1)).reshape(-1)
+    )
     T_global = num / jnp.maximum(den, 1.0)[:, None]
     T_global = jnp.where(empty[:, None], spfn_type, T_global)
     return X_global, T_global
@@ -152,13 +161,16 @@ def fuse_cascade(
     n_max_global_instances: int,
     n_max_local_instances: int,
     threshold: float = 0,
+    patch_mask: np.ndarray | None = None,
 ):
     """Full cascade fusion for one cloud.
 
     patch_W/X/T: [P, n, K_l] / [P, n, 3] / [P, n, Q] LocalSPFN outputs
     (softmax W, unit X). patch_indices: [P, n]. spfn_labels: [N, K_g]
     hard global segmentation; spfn_normals [N, 3]; spfn_type [N, Q].
-    P may be 0 (global-only fallback).
+    P may be 0 (global-only fallback). `patch_mask` [P] marks valid patches
+    when the patch axis is padded to a fixed width (invalid patches must also
+    carry patch_indices that are in range; their contributions are zeroed).
 
     Returns (W_fusion [N, K_g], X_global [N, 3], T_global [N, Q]):
     fused membership after dropping clusters supported by <= 1 point-mass and
@@ -166,15 +178,18 @@ def fuse_cascade(
     """
     N, K_g = spfn_labels.shape
     P = patch_W.shape[0]
-    if P == 0:
+    if P == 0 or (patch_mask is not None and not np.any(patch_mask)):
         # one-hot of argmax, as the reference's global-only branch
         hard = np.argmax(spfn_labels, axis=1)
         W_fusion = np.eye(K_g, dtype=np.float32)[hard]
         return W_fusion, np.asarray(spfn_normals), np.asarray(spfn_type)
 
+    patch_W = jnp.asarray(patch_W, jnp.float32)
+    if patch_mask is not None:
+        patch_W = patch_W * jnp.asarray(patch_mask, jnp.float32)[:, None, None]
     similarity, point2primitive = _fusion_inputs(
         jnp.asarray(spfn_labels, jnp.float32),
-        jnp.asarray(patch_W, jnp.float32),
+        patch_W,
         jnp.asarray(patch_indices, jnp.int32),
         N,
     )
@@ -203,5 +218,6 @@ def fuse_cascade(
         jnp.asarray(spfn_normals, jnp.float32),
         jnp.asarray(spfn_type, jnp.float32),
         spfn_type.shape[1],
+        None if patch_mask is None else jnp.asarray(patch_mask, jnp.float32),
     )
     return fused, np.asarray(X_global), np.asarray(T_global)
