@@ -1,0 +1,125 @@
+"""Benchmark: cascaded CPFN inference throughput on 100k-point clouds.
+
+Runs the full north-star path per cloud (BASELINE.md): GlobalSPFN forward on
+the complete high-res cloud, PatchSelection on the 8192-point low-res
+subsample, greedy patch extraction, LocalSPFN on the padded 32x8192 patch
+stack, and cross-scale fusion. Synthetic clouds, untrained weights (the
+compute is weight-independent).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the single-chip share of the v5e-8
+north-star (>= 50 clouds/sec on 8 chips -> 6.25 clouds/sec/chip).
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_HR = 100_000
+N_LR = 8192
+N_PATCH = 8192
+MAX_PATCHES = 32
+K_G, K_L, Q = 28, 21, 4
+N_CLOUDS = int(os.environ.get("CPFN_BENCH_CLOUDS", "6"))
+BASELINE_CLOUDS_PER_SEC_PER_CHIP = 50.0 / 8.0
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+
+    from cpfn_tpu.data import SyntheticSceneConfig, make_synthetic_scene
+    from cpfn_tpu.eval import CascadeRunner, ModelBundle
+    from cpfn_tpu.fitting import factory
+    from cpfn_tpu.nn import PointNet2Config, init_pointnet2
+
+    log(f"devices: {jax.devices()}")
+    rng = np.random.RandomState(0)
+    scene_cfg = SyntheticSceneConfig(
+        n_points=N_HR, n_max_instances=K_G, min_instances=6, max_instances=12,
+        n_gt_points_per_instance=512,
+    )
+    factory.register_primitives(list(scene_cfg.classes))
+
+    log("generating synthetic clouds...")
+    clouds = []
+    for i in range(N_CLOUDS):
+        scene = make_synthetic_scene(rng, scene_cfg)
+        P_hr = scene["noisy_points"][:N_HR]
+        lr_idx = rng.choice(len(P_hr), N_LR, replace=False)
+        # GT-oracle patch pool (the reference's scale>=1 mode): low-res points
+        # on small primitives — keeps the LocalSPFN patch workload realistic
+        # independent of (untrained) patch-selection accuracy
+        labels_lr = scene["I_gt"][lr_idx]
+        counts = np.bincount(scene["I_gt"])
+        small = np.where(counts < 0.05 * len(P_hr))[0]
+        pool = np.where(np.isin(labels_lr, small))[0]
+        clouds.append((P_hr, P_hr[lr_idx], pool))
+
+    def bundle(key, sizes):
+        cfg = PointNet2Config(output_sizes=sizes)
+        params, state = init_pointnet2(key, cfg)
+        return ModelBundle(cfg, params, state)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    runner = CascadeRunner(
+        bundle(keys[0], (3, Q, K_G)),
+        bundle(keys[1], (2,)),
+        bundle(keys[2], (3, Q, K_L)),
+        n_max_global_instances=K_G,
+        n_max_local_instances=K_L,
+        num_points_patch=N_PATCH,
+        max_patches=MAX_PATCHES,
+    )
+
+    import jax.numpy as jnp
+
+    def run_one(cloud, seed):
+        P_hr, P_lr, pool = cloud
+        out = runner.run_cloud(
+            P_hr, P_lr, pool_indices=pool, rng=np.random.RandomState(seed)
+        )
+        # materialize the hard fused segmentation: forces the full pipeline
+        # to drain (block_until_ready does not on all PJRT backends)
+        hard = np.asarray(jnp.argmax(out["W"], axis=1))
+        return out["n_patches"], hard
+
+    log("warmup (compilation)...")
+    t0 = time.time()
+    n_p, _ = run_one(clouds[0], 0)
+    log(f"warmup done in {time.time() - t0:.1f}s; n_patches={n_p}")
+
+    log(f"timing {N_CLOUDS} clouds...")
+    t0 = time.time()
+    n_patches_total = 0
+    for i, cloud in enumerate(clouds):
+        n_p, _ = run_one(cloud, i)
+        n_patches_total += n_p
+    elapsed = time.time() - t0
+    clouds_per_sec = N_CLOUDS / elapsed
+    log(
+        f"{N_CLOUDS} clouds in {elapsed:.2f}s -> {clouds_per_sec:.3f} clouds/s"
+        f" (avg {n_patches_total / N_CLOUDS:.1f} patches/cloud)"
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "cascaded CPFN inference, 100k-pt clouds, 1 chip",
+                "value": round(clouds_per_sec, 4),
+                "unit": "clouds/sec",
+                "vs_baseline": round(
+                    clouds_per_sec / BASELINE_CLOUDS_PER_SEC_PER_CHIP, 4
+                ),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,6 +52,7 @@ class CascadeRunner:
         num_points_patch: int = 8192,
         max_patches: int = 32,
         scale: float = 0.05,
+        out_width: int | None = None,
     ):
         self.global_model = global_model
         self.patchselec_model = patchselec_model
@@ -61,6 +62,13 @@ class CascadeRunner:
         self.num_points_patch = num_points_patch
         self.max_patches = max_patches
         self.scale = scale
+        # fixed fused-output width (device-side column compaction); defaults
+        # to K_g + K_l slack so surviving clusters are rarely dropped
+        self.out_width = (
+            out_width
+            if out_width is not None
+            else n_max_global_instances + n_max_local_instances
+        )
 
         def global_fwd(params, state, P):
             out, _ = apply_pointnet2(
@@ -134,8 +142,10 @@ class CascadeRunner:
         pool_indices: optional precomputed patch pool (GT-oracle mode,
         evaluation_PatchSelection.py scale>=1); otherwise the patch-selection
         network picks it.
-        Returns dict with fused 'W' [N, K_g], 'X' [N, 3], 'T' [N, Q], the
-        global stage outputs, and 'patch_indices'/'n_patches'.
+        Returns dict with fused 'W' [N, K_out], 'X' [N, 3], 'T' [N, Q], the
+        global stage outputs, and 'patch_indices'/'n_patches'. Array values
+        are device-resident (jax arrays) — convert with np.asarray only what
+        you need on the host.
         """
         g = self.global_model
         P_hr_j = jnp.asarray(P_hr, jnp.float32)
@@ -168,10 +178,9 @@ class CascadeRunner:
             lm = self.local_model
             X_p, T_p, W_p = self._local_fwd(lm.params, lm.state, patches)
             W_f, X_f, T_f = fuse_cascade(
-                W_p, X_p, T_p, idx_j,
-                np.asarray(W_hard), np.asarray(X_g), np.asarray(T_g),
+                W_p, X_p, T_p, idx_j, W_hard, X_g, T_g,
                 self.n_max_global, self.n_max_local,
-                patch_mask=mask,
+                patch_mask=mask, out_width=self.out_width,
             )
         else:
             W_f, X_f, T_f = fuse_cascade(
@@ -179,18 +188,19 @@ class CascadeRunner:
                 np.zeros((0, self.num_points_patch, 3), np.float32),
                 np.zeros((0, self.num_points_patch, T_g.shape[-1]), np.float32),
                 np.zeros((0, self.num_points_patch), np.int64),
-                np.asarray(W_hard), np.asarray(X_g), np.asarray(T_g),
+                W_hard, X_g, T_g,
                 self.n_max_global, self.n_max_local,
+                out_width=self.out_width,
             )
         return {
             "W": W_f,
             "X": X_f,
             "T": T_f,
-            "global_W": np.asarray(W_hard),
-            "global_X": np.asarray(X_g),
-            "global_T": np.asarray(T_g),
-            "global_feat": np.asarray(global_feat),
-            "point_feat": np.asarray(point_feat),
+            "global_W": W_hard,
+            "global_X": X_g,
+            "global_T": T_g,
+            "global_feat": global_feat,
+            "point_feat": point_feat,
             "patch_indices": patch_idx,
             "n_patches": n_patches,
         }

@@ -1,0 +1,135 @@
+"""GlobalSPFN evaluation + feature extraction (cf. `evaluation_globalSPFN.py`).
+
+Per test cloud (full high-res resolution): forward pass, hard segmentation,
+the 10 metrics, and the .npy artifacts consumed downstream by patch creation
+and the cascade (global_feat, local_feat, local_feat_full, object_seg,
+object_normals, object_type).
+
+  python -m cpfn_tpu.eval.eval_global --config_file configs/config_globalSPFN.yml \
+      --lowres_dataset ... --highres_dataset ... --output_folder ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpfn_tpu.config import Config
+from cpfn_tpu.data import GlobalSPFNDataset
+from cpfn_tpu.fitting import factory
+from cpfn_tpu.metrics import compute_all_metrics, hard_W_encoding
+from cpfn_tpu.nn import apply_pointnet2, init_pointnet2
+from cpfn_tpu.nn.pointnet2 import spfn_postprocess
+from cpfn_tpu.train.train_spfn import read_csv_list
+from cpfn_tpu.utils import restore_checkpoint
+from cpfn_tpu.utils.logging import ResultsTable
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", default="configs/config_globalSPFN.yml")
+    p.add_argument("--lowres_dataset", default="data/TraceParts_v2_lowres/")
+    p.add_argument("--highres_dataset", default="data/TraceParts_v2/")
+    p.add_argument("--path_patches", default="data/TraceParts_v2_patches/")
+    p.add_argument("--scale", type=float, default=0.05)
+    p.add_argument("--output_folder", default="data/TraceParts_v2_globalspfn/")
+    p.add_argument("--evaluation_set", default="test", choices=["train", "test"])
+    p.add_argument("--weights", default="", help="checkpoint dir")
+    p.add_argument("--csv_dir", default="Dataset")
+    p.add_argument("--first_n", type=int, default=-1)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    conf = Config.from_yaml(args.config_file)
+    factory.register_primitives(list(conf.list_of_primitives))
+    model_cfg = conf.model_config("GlobalSPFN")
+    k_max = conf.n_max_global_instances
+    os.makedirs(args.output_folder, exist_ok=True)
+
+    params, state = init_pointnet2(jax.random.PRNGKey(0), model_cfg)
+    ckpt = args.weights or os.path.join(conf.checkpoint_dir, "globalspfn")
+    restored, _ = restore_checkpoint(ckpt, {"params": params, "state": state})
+    params, state = restored["params"], restored["state"]
+
+    csv_file = (
+        conf.train_data_file
+        if args.evaluation_set == "train"
+        else conf.test_data_file
+    )
+    files = read_csv_list(
+        os.path.join(args.csv_dir, csv_file), args.highres_dataset
+    )
+    if args.first_n != -1:
+        files = files[: args.first_n]
+    patch_dir = os.path.join(args.path_patches, str(round(args.scale, 2)))
+    ds = GlobalSPFNDataset(
+        files, k_max, conf.test_data_noisy, n_points=None, test=True,
+        patch_dir=patch_dir, preload=False,
+    )
+
+    @jax.jit
+    def forward(params, state, P):
+        out, _ = apply_pointnet2(params, state, model_cfg, P, train=False)
+        X, T, W = spfn_postprocess(out)
+        return X, T, W, out["global_feat"], out["point_feat"]
+
+    table = ResultsTable()
+    mious = []
+    for i in range(len(ds)):
+        rec = ds[i]
+        stem = os.path.basename(ds.files[i]).rsplit(".h5", 1)[0]
+        out_dir = os.path.join(args.output_folder, stem)
+        os.makedirs(out_dir, exist_ok=True)
+        P = jnp.asarray(rec["P"])[None]
+        X, T, W, global_feat, point_feat = forward(params, state, P)
+        if args.evaluation_set == "test":
+            # [C, N] layout, as the reference artifacts
+            np.save(
+                os.path.join(out_dir, "local_feat_full.npy"),
+                np.asarray(point_feat[0]).T,
+            )
+        local_feat = np.asarray(point_feat[0])[
+            np.asarray(rec["patch_centers"], np.int64)
+        ].T
+        W_hard = hard_W_encoding(W)
+        m = compute_all_metrics(
+            P, X, jnp.asarray(rec["normal_gt"])[None], W_hard,
+            jnp.asarray(rec["I_gt"])[None], T,
+            jnp.asarray(rec["T_gt"])[None], jnp.asarray(rec["P_gt"])[None],
+            {
+                "plane_normal": jnp.asarray(rec["plane_n_gt"])[None],
+                "cylinder_axis": jnp.asarray(rec["cylinder_axis_gt"])[None],
+                "cone_axis": jnp.asarray(rec["cone_axis_gt"])[None],
+            },
+        )
+        if args.evaluation_set == "test":
+            np.save(os.path.join(out_dir, "object_seg.npy"), np.asarray(m["W"][0]))
+            np.save(os.path.join(out_dir, "object_normals.npy"), np.asarray(X[0]))
+            np.save(os.path.join(out_dir, "object_type.npy"), np.asarray(T[0]))
+        np.save(
+            os.path.join(out_dir, "global_feat.npy"), np.asarray(global_feat[0])
+        )
+        np.save(os.path.join(out_dir, "local_feat.npy"), local_feat)
+        mious.append(float(m["mIoU"][0]))
+        table.add(
+            stem, float(m["mIoU"][0]), float(m["type_accuracy"][0]),
+            float(m["normal_difference"][0]), float(m["axis_difference"][0]),
+            float(m["mean_residual"][0]), float(m["std_residual"][0]),
+            float(m["Sk_coverage"][0][0]), float(m["Sk_coverage"][1][0]),
+            float(m["P_coverage"][0][0]), float(m["P_coverage"][1][0]),
+        )
+        if i % 100 == 0:
+            print(f"[{i}/{len(ds)}] mIoU {np.mean(mious):.4f}", flush=True)
+    table.write(os.path.join(args.output_folder, "Results.csv"))
+    print(f"done: mean mIoU {np.mean(mious):.4f}")
+    return table
+
+
+if __name__ == "__main__":
+    main()

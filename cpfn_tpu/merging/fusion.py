@@ -79,6 +79,22 @@ def run_heuristic_solver(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("out_width",))
+def _compact_columns(fused, n_clusters, out_width: int):
+    """Keep (in stable order) the columns that are real clusters with total
+    point-mass > 1 (evaluation_localSPFN.py:137-139), compacted into a fixed
+    `out_width` so downstream graphs never recompile. Columns beyond the
+    valid count are zero."""
+    C = fused.shape[1]
+    col_sum = jnp.sum(fused, axis=0)
+    valid = (jnp.arange(C) < n_clusters) & (col_sum > 1)
+    order = jnp.argsort(~valid, stable=True)
+    out = jnp.take(fused, order[:out_width], axis=1)
+    n_valid = jnp.sum(valid)
+    keep = jnp.arange(out_width) < n_valid
+    return out * keep[None, :].astype(fused.dtype), n_valid
+
+
 def get_point_final(
     point2primitive: jax.Array, labels: jax.Array, n_clusters: int
 ) -> jax.Array:
@@ -162,6 +178,7 @@ def fuse_cascade(
     n_max_local_instances: int,
     threshold: float = 0,
     patch_mask: np.ndarray | None = None,
+    out_width: int | None = None,
 ):
     """Full cascade fusion for one cloud.
 
@@ -172,17 +189,26 @@ def fuse_cascade(
     when the patch axis is padded to a fixed width (invalid patches must also
     carry patch_indices that are in range; their contributions are zeroed).
 
-    Returns (W_fusion [N, K_g], X_global [N, 3], T_global [N, Q]):
-    fused membership after dropping clusters supported by <= 1 point-mass and
-    re-padding to K_g columns (evaluation_localSPFN.py:131-139).
+    Returns (W_fusion [N, K_out], X_global [N, 3], T_global [N, Q]) as device
+    arrays: fused membership after dropping clusters supported by <= 1
+    point-mass and re-padding to K_g columns (evaluation_localSPFN.py:131-139).
+
+    With `out_width` set, the surviving clusters are compacted on device into
+    a fixed K_out = max(out_width, K_g) columns (extra clusters beyond K_out
+    are dropped — pick a width with slack); with out_width=None the dynamic
+    reference behavior is kept (requires a host transfer of the fused matrix,
+    fine for small clouds/tests).
     """
     N, K_g = spfn_labels.shape
     P = patch_W.shape[0]
     if P == 0 or (patch_mask is not None and not np.any(patch_mask)):
         # one-hot of argmax, as the reference's global-only branch
-        hard = np.argmax(spfn_labels, axis=1)
-        W_fusion = np.eye(K_g, dtype=np.float32)[hard]
-        return W_fusion, np.asarray(spfn_normals), np.asarray(spfn_type)
+        spfn_labels = jnp.asarray(spfn_labels, jnp.float32)
+        width = max(out_width or K_g, K_g)
+        W_fusion = jax.nn.one_hot(
+            jnp.argmax(spfn_labels, axis=1), width, dtype=jnp.float32
+        )
+        return W_fusion, jnp.asarray(spfn_normals), jnp.asarray(spfn_type)
 
     patch_W = jnp.asarray(patch_W, jnp.float32)
     if patch_mask is not None:
@@ -205,12 +231,18 @@ def fuse_cascade(
         point2primitive, jnp.asarray(labels, jnp.int32), C
     )
     n_clusters = int(labels.max()) + 1
-    fused = np.asarray(fused)[:, :n_clusters]
-    fused = fused[:, fused.sum(axis=0) > 1]
-    if fused.shape[1] < K_g:
-        fused = np.concatenate(
-            [fused, np.zeros((N, K_g - fused.shape[1]), fused.dtype)], axis=1
-        )
+    if out_width is not None:
+        width = max(out_width, K_g)
+        fused, _ = _compact_columns(fused, jnp.int32(n_clusters), width)
+    else:
+        fused_np = np.asarray(fused)[:, :n_clusters]
+        fused_np = fused_np[:, fused_np.sum(axis=0) > 1]
+        if fused_np.shape[1] < K_g:
+            fused_np = np.concatenate(
+                [fused_np, np.zeros((N, K_g - fused_np.shape[1]), fused_np.dtype)],
+                axis=1,
+            )
+        fused = jnp.asarray(fused_np)
     X_global, T_global = _fuse_normals_types(
         jnp.asarray(patch_X, jnp.float32),
         jnp.asarray(patch_T, jnp.float32),
@@ -220,4 +252,4 @@ def fuse_cascade(
         spfn_type.shape[1],
         None if patch_mask is None else jnp.asarray(patch_mask, jnp.float32),
     )
-    return fused, np.asarray(X_global), np.asarray(T_global)
+    return fused, X_global, T_global

@@ -1,0 +1,198 @@
+"""GlobalSPFN / LocalSPFN training driver.
+
+CLI-compatible with the reference's `training_SPFN.py` (same YAML schema and
+flags), TPU-native execution: one jitted train step (data-parallel shard_map
+when the mesh has >1 device), traced LR/BN schedules, orbax checkpoints of
+params+state+optimizer+step, JSONL metric logs.
+
+  python -m cpfn_tpu.train.train_spfn --config_file configs/config_globalSPFN.yml \
+      --lowres_dataset data/TraceParts_v2_lowres/ --network GlobalSPFN
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpfn_tpu.config import Config
+from cpfn_tpu.data import GlobalSPFNDataset, TrainLocalSPFNDataset, batch_iterator
+from cpfn_tpu.data.dataset import _BATCH_KEYS
+from cpfn_tpu.fitting import factory
+from cpfn_tpu.nn import init_pointnet2
+from cpfn_tpu.parallel import (
+    make_mesh,
+    make_sharded_spfn_train_step,
+    replicate,
+    shard_batch,
+)
+from cpfn_tpu.train import init_optimizer, make_spfn_eval_step, make_spfn_train_step
+from cpfn_tpu.utils import MetricsLogger, latest_step, restore_checkpoint, save_checkpoint
+
+
+def read_csv_list(csv_path: str, data_dir: str) -> list[str]:
+    with open(csv_path) as f:
+        names = sorted(line.strip() for line in f if line.strip())
+    return [os.path.join(data_dir, n) for n in names]
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", default="configs/config_globalSPFN.yml")
+    p.add_argument("--lowres_dataset", default="data/TraceParts_v2_lowres/")
+    p.add_argument("--network", default="GlobalSPFN",
+                   choices=["GlobalSPFN", "LocalSPFN"])
+    p.add_argument("--path_patches", default="data/TraceParts_v2_patches")
+    p.add_argument("--scale", type=float, default=0.05)
+    p.add_argument("--spfn_weights", default="",
+                   help="checkpoint dir to warm-start from")
+    p.add_argument("--csv_dir", default="Dataset")
+    p.add_argument("--n_points", type=int, default=8192)
+    p.add_argument("--max_steps", type=int, default=0,
+                   help="stop after N optimizer steps (0 = by epochs)")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    conf = Config.from_yaml(args.config_file)
+    factory.register_primitives(list(conf.list_of_primitives))
+    model_cfg = conf.model_config(args.network)
+    train_cfg = conf.train_config()
+
+    if args.network == "GlobalSPFN":
+        name = "globalspfn"
+        k_max = conf.n_max_global_instances
+
+        def make_ds(csv_file, noisy, first_n, seed):
+            files = read_csv_list(
+                os.path.join(args.csv_dir, csv_file), args.lowres_dataset
+            )
+            if first_n != -1:
+                files = files[:first_n]
+            return GlobalSPFNDataset(
+                files, k_max, noisy, n_points=args.n_points, seed=seed
+            )
+    else:
+        name = f"localspfn_{round(args.scale, 2)}"
+        k_max = conf.n_max_local_instances
+        patch_root = os.path.join(args.path_patches, str(round(args.scale, 2)))
+
+        def make_ds(csv_file, noisy, first_n, seed):
+            stems = [
+                os.path.basename(f).rsplit(".h5", 1)[0]
+                for f in read_csv_list(os.path.join(args.csv_dir, csv_file), "")
+            ]
+            patch_files = TrainLocalSPFNDataset.enumerate_patches(
+                patch_root, stems
+            )
+            if first_n != -1:
+                patch_files = patch_files[:first_n]
+            return TrainLocalSPFNDataset(
+                patch_files, k_max, noisy, use_features=False, seed=seed
+            )
+
+    train_ds = make_ds(
+        conf.train_data_file, conf.train_data_noisy, conf.train_first_n, 1
+    )
+    val_ds = make_ds(
+        conf.val_data_file, conf.val_data_noisy, conf.val_first_n, 2
+    )
+    print(f"{args.network}: {len(train_ds)} train / {len(val_ds)} val records")
+
+    mesh = make_mesh(conf.n_devices or None)
+    n_dev = mesh.devices.size
+    assert conf.batch_size % n_dev == 0, (conf.batch_size, n_dev)
+    params, state = init_pointnet2(jax.random.PRNGKey(0), model_cfg)
+    opt = init_optimizer(train_cfg)
+    opt_state = opt.init(params)
+    step_idx = 0
+    ckpt_dir = os.path.join(conf.checkpoint_dir, name)
+    if args.spfn_weights:
+        tpl = {"params": params, "state": state, "opt_state": opt_state}
+        restored, at = restore_checkpoint(args.spfn_weights, tpl)
+        params, state = restored["params"], restored["state"]
+        opt_state = restored.get("opt_state", opt_state)
+        print(f"warm-started from {args.spfn_weights} @ step {at}")
+    elif latest_step(ckpt_dir) is not None:
+        tpl = {"params": params, "state": state, "opt_state": opt_state}
+        restored, step_idx = restore_checkpoint(ckpt_dir, tpl)
+        params, state = restored["params"], restored["state"]
+        opt_state = restored["opt_state"]
+        print(f"resumed from {ckpt_dir} @ step {step_idx}")
+
+    if n_dev > 1:
+        step_fn = make_sharded_spfn_train_step(
+            model_cfg, train_cfg, mesh, optimizer=opt
+        )
+        params = replicate(params, mesh)
+        state = replicate(state, mesh)
+        opt_state = replicate(opt_state, mesh)
+
+        def put(batch):
+            return shard_batch(batch, mesh)
+
+        def put_scalar(x):
+            return replicate(x, mesh)
+    else:
+        step_fn = jax.jit(
+            make_spfn_train_step(model_cfg, train_cfg, optimizer=opt)
+        )
+
+        def put(batch):
+            return jax.device_put(batch)
+
+        def put_scalar(x):
+            return x
+
+    eval_fn = jax.jit(make_spfn_eval_step(model_cfg, train_cfg))
+    logger = MetricsLogger(conf.log_dir, name)
+    key = jax.random.PRNGKey(123)
+    shuffle_rng = np.random.RandomState(12345)
+    best_val = np.inf
+    for epoch in range(conf.n_epochs):
+        for batch in batch_iterator(
+            train_ds, conf.batch_size, rng=shuffle_rng, keys=_BATCH_KEYS
+        ):
+            key, sub = jax.random.split(key)
+            params, state, opt_state, metrics = step_fn(
+                params, state, opt_state,
+                put({k: jnp.asarray(v) for k, v in batch.items()}),
+                put_scalar(jnp.int32(step_idx)), put_scalar(sub),
+            )
+            logger.log(step_idx, metrics)
+            step_idx += 1
+            if args.max_steps and step_idx >= args.max_steps:
+                break
+        if args.max_steps and step_idx >= args.max_steps:
+            break
+        if epoch % conf.val_interval == 0 and epoch > 0:
+            val_loss, n = 0.0, 0
+            for batch in batch_iterator(
+                val_ds, conf.batch_size, rng=shuffle_rng, keys=_BATCH_KEYS
+            ):
+                _, m = eval_fn(
+                    params, state,
+                    put({k: jnp.asarray(v) for k, v in batch.items()}),
+                )
+                val_loss += float(m["total_loss"]) * conf.batch_size
+                n += conf.batch_size
+            val_loss /= max(n, 1)
+            print(f"[epoch {epoch}] val_loss {val_loss:.4f}")
+            if val_loss < best_val:
+                best_val = val_loss
+                save_checkpoint(ckpt_dir, step_idx, params, state, opt_state)
+        if epoch % conf.snapshot_interval == 0 and epoch > 0:
+            save_checkpoint(
+                ckpt_dir + "_snapshots", step_idx, params, state, opt_state
+            )
+    save_checkpoint(ckpt_dir + "_final", step_idx, params, state, opt_state)
+    logger.close()
+    return params, state
+
+
+if __name__ == "__main__":
+    main()

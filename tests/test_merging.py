@@ -129,6 +129,7 @@ def test_fuse_cascade_patch_overrides_global(rng):
         pw, px, pt, idx, spfn_labels, normals, types, K_g, K_l
     )
     assert W.shape == (N, K_g)
+    W, X, T = np.asarray(W), np.asarray(X), np.asarray(T)
     hard = np.argmax(W, axis=1)
     # covered points split into 2 clusters, both distinct from the cluster of
     # uncovered global-instance-1 points
