@@ -56,6 +56,8 @@ class Config:
     checkpoint_dir: str = "checkpoints"
     log_dir: str = "logs"
     profile_dir: str = ""  # set to enable jax.profiler traces
+    # PointNet2Config field overrides (e.g. smaller sa1_points for tiny runs)
+    model_overrides: dict = dataclasses.field(default_factory=dict)
 
     @classmethod
     def from_yaml(cls, path: str) -> "Config":
@@ -82,7 +84,13 @@ class Config:
             sizes = (2,)
         else:
             raise ValueError(network)
-        return PointNet2Config(output_sizes=sizes, **(scale_kwargs or {}))
+        kwargs = dict(self.model_overrides)
+        kwargs.update(scale_kwargs or {})
+        # YAML lists -> tuples for the frozen dataclass
+        kwargs = {
+            k: tuple(v) if isinstance(v, list) else v for k, v in kwargs.items()
+        }
+        return PointNet2Config(output_sizes=sizes, **kwargs)
 
     def train_config(self) -> SPFNTrainConfig:
         return SPFNTrainConfig(

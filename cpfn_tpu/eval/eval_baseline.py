@@ -1,0 +1,93 @@
+"""Baseline SPFN evaluation (cf. `evaluation_baselineSPFN.py`): the
+global-only fusion path — GlobalSPFN's saved outputs scored on the high-res
+cloud with no patches — for comparison against the full cascade.
+
+  python -m cpfn_tpu.eval.eval_baseline --config_file configs/config_localSPFN.yml \
+      --highres_dataset ... --dir_spfn ... --output_folder ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from cpfn_tpu.config import Config
+from cpfn_tpu.data.hdf5 import read_spfn_hdf5
+from cpfn_tpu.fitting import factory
+from cpfn_tpu.merging import fuse_cascade
+from cpfn_tpu.metrics import compute_all_metrics
+from cpfn_tpu.train.train_spfn import read_csv_list
+from cpfn_tpu.utils.logging import ResultsTable
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", default="configs/config_localSPFN.yml")
+    p.add_argument("--highres_dataset", default="data/TraceParts_v2/")
+    p.add_argument("--dir_spfn", default="data/TraceParts_v2_globalspfn/")
+    p.add_argument("--output_folder", default="data/TraceParts_v2_baselinespfn/")
+    p.add_argument("--csv_dir", default="Dataset")
+    p.add_argument("--first_n", type=int, default=-1)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    conf = Config.from_yaml(args.config_file)
+    factory.register_primitives(list(conf.list_of_primitives))
+    k_g = conf.n_max_global_instances
+    os.makedirs(args.output_folder, exist_ok=True)
+    files = read_csv_list(
+        os.path.join(args.csv_dir, conf.test_data_file), args.highres_dataset
+    )
+    if args.first_n != -1:
+        files = files[: args.first_n]
+    table = ResultsTable()
+    mious = []
+    for i, path in enumerate(files):
+        stem = os.path.basename(path).rsplit(".h5", 1)[0]
+        rec = read_spfn_hdf5(path, k_g, conf.test_data_noisy, shuffle=False)
+        spfn_dir = os.path.join(args.dir_spfn, stem)
+        spfn_labels = np.load(os.path.join(spfn_dir, "object_seg.npy"))
+        spfn_normals = np.load(os.path.join(spfn_dir, "object_normals.npy"))
+        spfn_type = np.load(os.path.join(spfn_dir, "object_type.npy"))
+        n = spfn_type.shape[1]
+        W_f, X_f, T_f = fuse_cascade(
+            np.zeros((0, 8192, conf.n_max_local_instances), np.float32),
+            np.zeros((0, 8192, 3), np.float32),
+            np.zeros((0, 8192, n), np.float32),
+            np.zeros((0, 8192), np.int64),
+            spfn_labels, spfn_normals, spfn_type,
+            k_g, conf.n_max_local_instances,
+        )
+        m = compute_all_metrics(
+            jnp.asarray(rec["P"])[None], X_f[None],
+            jnp.asarray(rec["normal_gt"])[None], W_f[None],
+            jnp.asarray(rec["I_gt"])[None], T_f[None],
+            jnp.asarray(rec["T_gt"])[None], jnp.asarray(rec["P_gt"])[None],
+            {
+                "plane_normal": jnp.asarray(rec["plane_n_gt"])[None],
+                "cylinder_axis": jnp.asarray(rec["cylinder_axis_gt"])[None],
+                "cone_axis": jnp.asarray(rec["cone_axis_gt"])[None],
+            },
+        )
+        mious.append(float(m["mIoU"][0]))
+        table.add(
+            stem, float(m["mIoU"][0]), float(m["type_accuracy"][0]),
+            float(m["normal_difference"][0]), float(m["axis_difference"][0]),
+            float(m["mean_residual"][0]), float(m["std_residual"][0]),
+            float(m["Sk_coverage"][0][0]), float(m["Sk_coverage"][1][0]),
+            float(m["P_coverage"][0][0]), float(m["P_coverage"][1][0]),
+        )
+        if i % 100 == 0:
+            print(f"[{i}/{len(files)}] mIoU {np.mean(mious):.4f}", flush=True)
+    table.write(os.path.join(args.output_folder, "Results.csv"))
+    print(f"done: mean mIoU {np.mean(mious):.4f}")
+    return table
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""LocalSPFN cascaded evaluation (cf. `evaluation_localSPFN.py`) — the
+full-cloud pipeline: per test cloud, run LocalSPFN on the precomputed patch
+indices, fuse with the saved GlobalSPFN outputs, and score the 10 metrics on
+the 100k-point cloud. Writes Results.csv + Results_Stats.csv in the
+reference's schema.
+
+  python -m cpfn_tpu.eval.eval_local --config_file configs/config_localSPFN.yml \
+      --lowres_dataset ... --highres_dataset ... --dir_spfn ... --dir_indices ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cpfn_tpu.config import Config
+from cpfn_tpu.data.hdf5 import read_spfn_hdf5
+from cpfn_tpu.fitting import factory
+from cpfn_tpu.losses import compute_miou_loss, hungarian_matching_with_mask
+from cpfn_tpu.merging import fuse_cascade
+from cpfn_tpu.metrics import compute_all_metrics, compute_segmentation_iou, hard_W_encoding
+from cpfn_tpu.nn import apply_pointnet2, init_pointnet2
+from cpfn_tpu.nn.pointnet2 import spfn_postprocess
+from cpfn_tpu.train.train_spfn import read_csv_list
+from cpfn_tpu.utils import restore_checkpoint
+from cpfn_tpu.utils.logging import ResultsTable
+
+
+def build_argparser():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config_file", default="configs/config_localSPFN.yml")
+    p.add_argument("--lowres_dataset", default="data/TraceParts_v2_lowres/")
+    p.add_argument("--highres_dataset", default="data/TraceParts_v2/")
+    p.add_argument("--dir_spfn", default="data/TraceParts_v2_globalspfn/")
+    p.add_argument("--dir_indices", default="data/TraceParts_v2_heatmaps/")
+    p.add_argument("--output_folder", default="data/TraceParts_v2_localspfn/")
+    p.add_argument("--scale", type=float, default=0.05)
+    p.add_argument("--weights", default="")
+    p.add_argument("--csv_dir", default="Dataset")
+    p.add_argument("--first_n", type=int, default=-1)
+    p.add_argument("--max_patches", type=int, default=32)
+    p.add_argument("--num_points_patch", type=int, default=8192)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    conf = Config.from_yaml(args.config_file)
+    factory.register_primitives(list(conf.list_of_primitives))
+    k_g = conf.n_max_global_instances
+    k_l = conf.n_max_local_instances
+    dir_indices = os.path.join(args.dir_indices, str(round(args.scale, 2)))
+    os.makedirs(args.output_folder, exist_ok=True)
+
+    model_cfg = conf.model_config("LocalSPFN")
+    params, state = init_pointnet2(jax.random.PRNGKey(0), model_cfg)
+    ckpt = args.weights or os.path.join(
+        conf.checkpoint_dir, f"localspfn_{round(args.scale, 2)}"
+    )
+    restored, _ = restore_checkpoint(ckpt, {"params": params, "state": state})
+    params, state = restored["params"], restored["state"]
+
+    @jax.jit
+    def local_forward(patches):
+        out, _ = apply_pointnet2(params, state, model_cfg, patches, train=False)
+        return spfn_postprocess(out)
+
+    @jax.jit
+    def normalize_patches(P_hr, idx):
+        raw = P_hr[idx]
+        mean = jnp.mean(raw, axis=1, keepdims=True)
+        centered = raw - mean
+        norm = jnp.max(
+            jnp.linalg.norm(centered, axis=2, keepdims=True), axis=1,
+            keepdims=True,
+        )
+        return centered / jnp.maximum(norm, 1e-12)
+
+    files = read_csv_list(
+        os.path.join(args.csv_dir, conf.test_data_file), args.highres_dataset
+    )
+    if args.first_n != -1:
+        files = files[: args.first_n]
+
+    table = ResultsTable()
+    stats = ResultsTable(
+        columns=["Filename", "Primitive Id", "Mask", "Nb Points", "mIoU"]
+    )
+    mious = []
+    for i, path in enumerate(files):
+        stem = os.path.basename(path).rsplit(".h5", 1)[0]
+        rec = read_spfn_hdf5(path, k_g, conf.test_data_noisy, shuffle=False)
+        spfn_dir = os.path.join(args.dir_spfn, stem)
+        spfn_labels = np.load(os.path.join(spfn_dir, "object_seg.npy"))
+        spfn_normals = np.load(os.path.join(spfn_dir, "object_normals.npy"))
+        spfn_type = np.load(os.path.join(spfn_dir, "object_type.npy"))
+        idx_file = os.path.join(dir_indices, stem + "_indices.npy")
+        P_hr = jnp.asarray(rec["P"])
+        if os.path.isfile(idx_file):
+            patch_idx = np.load(idx_file)[: args.max_patches]
+            n_patches = patch_idx.shape[0]
+            padded = np.zeros(
+                (args.max_patches, args.num_points_patch), np.int64
+            )
+            padded[:n_patches] = patch_idx
+            mask = np.zeros((args.max_patches,), np.float32)
+            mask[:n_patches] = 1.0
+            idx_j = jnp.asarray(padded, jnp.int32)
+            X_p, T_p, W_p = local_forward(normalize_patches(P_hr, idx_j))
+            W_f, X_f, T_f = fuse_cascade(
+                W_p, X_p, T_p, idx_j,
+                spfn_labels, spfn_normals, spfn_type, k_g, k_l,
+                patch_mask=mask, out_width=k_g + k_l,
+            )
+        else:
+            n_patches = 0
+            W_f, X_f, T_f = fuse_cascade(
+                np.zeros((0, args.num_points_patch, k_l), np.float32),
+                np.zeros((0, args.num_points_patch, 3), np.float32),
+                np.zeros((0, args.num_points_patch, spfn_type.shape[1]), np.float32),
+                np.zeros((0, args.num_points_patch), np.int64),
+                spfn_labels, spfn_normals, spfn_type, k_g, k_l,
+                out_width=k_g + k_l,
+            )
+        I_gt = jnp.asarray(rec["I_gt"])[None]
+        W_hard = hard_W_encoding(W_f[None])
+        match, mask_f = hungarian_matching_with_mask(W_hard, I_gt)
+        mask_f = mask_f.astype(jnp.float32)
+        miou_fused = compute_segmentation_iou(W_hard, I_gt, match, mask_f)
+        miou_per_prim = 1.0 - compute_miou_loss(W_hard, I_gt, match)[0]
+        _, counts = np.unique(rec["I_gt"], return_counts=True)
+        for j in range(len(counts)):
+            stats.add(
+                stem, j, float(mask_f[0, j]), int(counts[j]),
+                float(miou_per_prim[0, j]),
+            )
+        m = compute_all_metrics(
+            P_hr[None], X_f[None], jnp.asarray(rec["normal_gt"])[None],
+            W_hard[:, :, : k_g + k_l], I_gt, T_f[None],
+            jnp.asarray(rec["T_gt"])[None], jnp.asarray(rec["P_gt"])[None],
+            {
+                "plane_normal": jnp.asarray(rec["plane_n_gt"])[None],
+                "cylinder_axis": jnp.asarray(rec["cylinder_axis_gt"])[None],
+                "cone_axis": jnp.asarray(rec["cone_axis_gt"])[None],
+            },
+        )
+        mious.append(float(m["mIoU"][0]))
+        table.add(
+            stem, float(m["mIoU"][0]), float(m["type_accuracy"][0]),
+            float(m["normal_difference"][0]), float(m["axis_difference"][0]),
+            float(m["mean_residual"][0]), float(m["std_residual"][0]),
+            float(m["Sk_coverage"][0][0]), float(m["Sk_coverage"][1][0]),
+            float(m["P_coverage"][0][0]), float(m["P_coverage"][1][0]),
+        )
+        if i % 100 == 0:
+            print(f"[{i}/{len(files)}] mIoU {np.mean(mious):.4f}", flush=True)
+    table.write(os.path.join(args.output_folder, "Results.csv"))
+    stats.write(os.path.join(args.output_folder, "Results_Stats.csv"))
+    print(f"done: mean mIoU {np.mean(mious):.4f}")
+    return table
+
+
+if __name__ == "__main__":
+    main()

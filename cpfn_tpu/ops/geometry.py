@@ -183,8 +183,22 @@ def three_nn(
     """
     del impl
     d2 = pairwise_sqr_dist(queries, points)  # [B, S, N]
-    neg_d2, idx = lax.top_k(-d2, 3)
-    return jnp.sqrt(jnp.maximum(-neg_d2, 0.0)), idx.astype(jnp.int32)
+    # Three iterated min+argmin passes instead of a top_k sort: ~3 streaming
+    # passes over [B, S, N] on the VPU (top_k over a 100k axis costs an order
+    # of magnitude more). argmin takes the first minimum, matching the CUDA
+    # kernel's strict-< running-3-best tie-break.
+    dists, idxs = [], []
+    big = jnp.float32(jnp.finfo(jnp.float32).max)
+    n_iota = lax.broadcasted_iota(jnp.int32, d2.shape, dimension=2)
+    for _ in range(3):
+        i = jnp.argmin(d2, axis=-1)
+        d = jnp.take_along_axis(d2, i[..., None], axis=-1)[..., 0]
+        dists.append(d)
+        idxs.append(i)
+        d2 = jnp.where(n_iota == i[..., None], big, d2)
+    d2_3 = jnp.stack(dists, axis=-1)
+    idx = jnp.stack(idxs, axis=-1)
+    return jnp.sqrt(jnp.maximum(d2_3, 0.0)), idx.astype(jnp.int32)
 
 
 def three_interpolate(

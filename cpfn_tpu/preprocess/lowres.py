@@ -1,0 +1,104 @@
+"""Low-res FPS subsampling of the high-res dataset
+(cf. `Preprocessing/preprocessing_sampling_lowres.py`).
+
+Per cloud: one guaranteed FPS seed per GT label (so no instance disappears),
+then global FPS for `nb_query_points` more samples, writing a lowres .h5 with
+the same soup groups. The FPS kernels run in the C++ host library
+(`cpfn_tpu.native`) — the reference's numba JIT equivalents.
+
+  python -m cpfn_tpu.preprocess.lowres --path_highres ... --path_lowres ... \
+      --path_split_file Dataset/train_models.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import h5py
+import numpy as np
+
+from cpfn_tpu import native
+
+
+def subsample_lowres_file(
+    highres_path: str,
+    lowres_path: str,
+    nb_query_points: int = 8192,
+    rng: np.random.RandomState | None = None,
+) -> bool:
+    """Returns False when the input file is unreadable (skipped, as the
+    reference's swallow-and-skip, preprocessing_sampling_lowres.py:50-64)."""
+    rng = rng or np.random
+    stem = os.path.basename(highres_path).rsplit(".h5", 1)[0]
+    try:
+        with h5py.File(highres_path, "r") as f:
+            gt_points = f["gt_points"][()].astype(np.float32)
+            noisy_points = f["noisy_points"][()].astype(np.float32)
+            gt_labels = f["gt_labels"][()].astype(np.int32)
+            gt_normals = f["gt_normals"][()].astype(np.float32)
+            primitives = {}
+            for i in range(int(gt_labels.max()) + 1):
+                key = f"{stem}_soup_{i}"
+                primitives[key] = {
+                    "gt_points": f[key]["gt_points"][()],
+                    "gt_normals": f[key]["gt_normals"][()],
+                    "meta": f[key].attrs["meta"],
+                }
+    except Exception:
+        return False
+    start = int(rng.randint(0, len(gt_points)))
+    seed_idx = native.fps_per_label_host(gt_points, gt_labels, start)
+    rest_idx = native.fps_host(gt_points, nb_query_points, seed_idx=seed_idx)
+    idx = np.concatenate([seed_idx, rest_idx])
+    assert len(np.unique(gt_labels)) == len(np.unique(gt_labels[idx]))
+    with h5py.File(lowres_path, "w") as f:
+        f.create_dataset("gt_points", data=gt_points[idx])
+        f.create_dataset("gt_normals", data=gt_normals[idx])
+        f.create_dataset("gt_labels", data=gt_labels[idx])
+        f.create_dataset("noisy_points", data=noisy_points[idx])
+        f.create_dataset("index_query_points", data=idx)
+        for key, grp_data in primitives.items():
+            grp = f.create_group(key)
+            grp["gt_points"] = grp_data["gt_points"]
+            grp["gt_normals"] = grp_data["gt_normals"]
+            grp.attrs["meta"] = grp_data["meta"]
+    return True
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--path_highres", default="data/TraceParts_v2/")
+    p.add_argument("--path_lowres", default="data/TraceParts_v2_lowres/")
+    p.add_argument("--path_split_file", default="Dataset/train_models.csv")
+    p.add_argument("--nb_query_points", type=int, default=8192)
+    p.add_argument("--n_jobs", type=int, default=0, help="0 = 70%% of CPUs")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    os.makedirs(args.path_lowres, exist_ok=True)
+    with open(args.path_split_file) as f:
+        files = [line.strip() for line in f if line.strip()]
+    n_jobs = args.n_jobs or max(1, int(0.7 * (os.cpu_count() or 1)))
+
+    def work(i_file):
+        i, file_ = i_file
+        if i % 100 == 0:
+            print(f"{i} / {len(files)}", flush=True)
+        return subsample_lowres_file(
+            os.path.join(args.path_highres, file_),
+            os.path.join(args.path_lowres, file_),
+            args.nb_query_points,
+            rng=np.random.RandomState(args.seed + i),
+        )
+
+    if n_jobs > 1:
+        from joblib import Parallel, delayed
+
+        Parallel(n_jobs=n_jobs)(delayed(work)(t) for t in enumerate(files))
+    else:
+        for t in enumerate(files):
+            work(t)
+
+
+if __name__ == "__main__":
+    main()

@@ -103,9 +103,10 @@ def main(argv=None):
     )
     print(f"{args.network}: {len(train_ds)} train / {len(val_ds)} val records")
 
-    mesh = make_mesh(conf.n_devices or None)
-    n_dev = mesh.devices.size
-    assert conf.batch_size % n_dev == 0, (conf.batch_size, n_dev)
+    n_avail = conf.n_devices or len(jax.devices())
+    # largest device count that divides the global batch
+    n_dev = max(d for d in range(1, n_avail + 1) if conf.batch_size % d == 0)
+    mesh = make_mesh(n_dev)
     params, state = init_pointnet2(jax.random.PRNGKey(0), model_cfg)
     opt = init_optimizer(train_cfg)
     opt_state = opt.init(params)

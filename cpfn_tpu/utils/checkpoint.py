@@ -28,11 +28,14 @@ def save_checkpoint(
 ) -> None:
     import orbax.checkpoint as ocp
 
-    payload = {"params": params, "state": state}
+    items = {
+        "params": ocp.args.StandardSave(params),
+        "state": ocp.args.StandardSave(state),
+    }
     if opt_state is not None:
-        payload["opt_state"] = opt_state
+        items["opt_state"] = ocp.args.StandardSave(opt_state)
     mgr = _manager(directory)
-    mgr.save(step, args=ocp.args.StandardSave(payload))
+    mgr.save(step, args=ocp.args.Composite(**items))
     mgr.wait_until_finished()
     mgr.close()
 
@@ -52,12 +55,16 @@ def restore_checkpoint(
     directory: str, template: dict, step: int | None = None
 ):
     """template: {'params': ..., 'state': ..., optional 'opt_state': ...}
-    pytrees with the right structure/shapes (e.g. freshly initialized)."""
+    pytrees with the right structure/shapes (e.g. freshly initialized). Only
+    the requested items are restored (a checkpoint may carry more)."""
     import orbax.checkpoint as ocp
 
     mgr = _manager(directory)
     if step is None:
         step = mgr.latest_step()
-    out = mgr.restore(step, args=ocp.args.StandardRestore(template))
+    args = ocp.args.Composite(
+        **{k: ocp.args.StandardRestore(v) for k, v in template.items()}
+    )
+    out = mgr.restore(step, args=args)
     mgr.close()
-    return out, step
+    return dict(out), step
