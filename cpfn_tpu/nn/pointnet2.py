@@ -59,7 +59,7 @@ class PointNet2Config:
     fp3_mlp: tuple[int, ...] = (128, 128, 128)
     fc_dim: int = 128
     dropout_rate: float = 0.5
-    fps_impl: str = "xla"
+    fps_impl: str = "auto"
 
     @property
     def glob_feature_dim(self) -> int:

@@ -82,9 +82,16 @@ def gather_points(points: jax.Array, idx: jax.Array) -> jax.Array:
 group_points = gather_points
 
 
+def _tpu_backend() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except RuntimeError:
+        return False
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples", "impl"))
 def farthest_point_sample(
-    points: jax.Array, num_samples: int, *, impl: str = "xla"
+    points: jax.Array, num_samples: int, *, impl: str = "auto"
 ) -> jax.Array:
     """Iterative farthest point sampling.
 
@@ -99,6 +106,8 @@ def farthest_point_sample(
     never selected and never update the running min-distance; the running
     min-distance buffer is initialised to 1e10.
     """
+    if impl == "auto":
+        impl = "pallas" if _tpu_backend() else "xla"
     if impl == "pallas":
         from cpfn_tpu.ops import pallas_kernels
 

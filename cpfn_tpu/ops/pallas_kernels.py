@@ -47,13 +47,12 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, dist_ref, *, num_samples, n_pad):
     out_ref[b, 0] = 0
 
     def body(j, last):
-        # dynamic scalar reads of the last selected point's coordinates
-        # (ref indexing — dynamic_slice on *values* does not lower on TC)
-        row = last // _LANES
-        col = last % _LANES
-        px = x_ref[0, row, col]
-        py = y_ref[0, row, col]
-        pz = z_ref[0, row, col]
+        # coordinates of the last selected point via masked reductions
+        # (dynamic scalar indexing into VMEM does not lower on the TC core)
+        sel = flat_iota == last
+        px = jnp.sum(jnp.where(sel, x, 0.0))
+        py = jnp.sum(jnp.where(sel, y, 0.0))
+        pz = jnp.sum(jnp.where(sel, z, 0.0))
         d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
         new_dist = jnp.where(valid, jnp.minimum(dist_ref[:], d), dist_ref[:])
         dist_ref[:] = new_dist
