@@ -48,13 +48,24 @@ def _host_lsa(neg_iou: np.ndarray, n_gt: np.ndarray) -> np.ndarray:
     )
 
 
-def hungarian_matching(W: jax.Array, I_gt: jax.Array) -> jax.Array:
+def hungarian_matching(
+    W: jax.Array, I_gt: jax.Array, impl: str = "device"
+) -> jax.Array:
     """matching_indices [B, K] int32: GT instance k -> predicted column.
 
     Only the first n_gt[b] entries of each row are meaningful (rest are 0),
     as in the reference. Gradient-free (index output).
+
+    impl='device' (default) solves the assignment with the on-device exact
+    Jonker-Volgenant solver — zero host round trips, and required on PJRT
+    runtimes without host-callback support. impl='host' dispatches one
+    batched pure_callback to the C++ solver (useful for validation).
     """
     iou, n_gt = riou_matching_cost(W, I_gt)
+    if impl == "device":
+        from cpfn_tpu.losses.lsa_device import lsa_minimize_device
+
+        return lsa_minimize_device(jax.lax.stop_gradient(-iou), n_gt)
     B, K, _ = iou.shape
     out = jax.pure_callback(
         _host_lsa,

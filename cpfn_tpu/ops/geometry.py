@@ -142,7 +142,7 @@ def ball_query(
     radius: float,
     num_samples: int,
     *,
-    impl: str = "xla",
+    impl: str = "auto",
 ) -> jax.Array:
     """First-K-within-radius neighbor indices, in point-index scan order.
 
@@ -158,11 +158,19 @@ def ball_query(
       the pipeline every query point is itself a member of `points`, so the
       case never occurs).
 
-    TPU-native formulation: the first K hits in scan order are exactly the K
-    smallest values of `where(hit, index, N)` — a single `top_k` per query, no
-    scatter, no sort of the full row.
+    Two implementations: the XLA path expresses first-K-in-scan-order as the
+    K smallest values of `where(hit, index, N)` (one `top_k` per query); the
+    Pallas path (default on TPU) streams the points in chunks with early exit
+    once every ball is full (`pallas_kernels.ball_query_pallas`).
     """
-    del impl  # single implementation for now; top_k maps well to the VPU
+    if impl == "auto":
+        impl = "pallas" if (_tpu_backend() and num_samples <= 128) else "xla"
+    if impl == "pallas":
+        from cpfn_tpu.ops import pallas_kernels
+
+        return pallas_kernels.ball_query_pallas(
+            points, queries, radius, num_samples
+        )
     B, N, _ = points.shape
     d2 = pairwise_sqr_dist(queries, points)  # [B, S, N]
     hit = d2 < jnp.float32(radius) ** 2
@@ -200,8 +208,8 @@ def three_nn(
     big = jnp.float32(jnp.finfo(jnp.float32).max)
     n_iota = lax.broadcasted_iota(jnp.int32, d2.shape, dimension=2)
     for _ in range(3):
+        d = jnp.min(d2, axis=-1)
         i = jnp.argmin(d2, axis=-1)
-        d = jnp.take_along_axis(d2, i[..., None], axis=-1)[..., 0]
         dists.append(d)
         idxs.append(i)
         d2 = jnp.where(n_iota == i[..., None], big, d2)

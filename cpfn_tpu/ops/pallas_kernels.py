@@ -66,6 +66,142 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, dist_ref, *, num_samples, n_pad):
     lax.fori_loop(1, num_samples, body, jnp.int32(0))
 
 
+_BQ_CHUNK = 1024  # points processed per inner step
+
+
+def _ball_query_kernel(
+    x_ref, y_ref, z_ref, q_ref, out_ref, count_ref, buf_ref,
+    *, radius_sqr, num_samples, n_points,
+):
+    """Grid: (B, S // 128). Per step: one 128-query tile against all points.
+
+    Streaming first-K-within-radius selection: walk the points in 1024-wide
+    chunks in index order; per chunk, one MXU matmul gives the 128x1024
+    distance tile, a second (triangular-ones) matmul ranks the in-radius hits
+    within the chunk, and a K-step min-merge folds each hit into its output
+    slot (slot s takes the min point index among hits with running slot
+    position >= s — exact because slot positions are contiguous per chunk).
+    Early exits once every query's buffer holds K hits, and skips the merge
+    for chunks that bring no hits to unfilled queries.
+
+    x/y/z_ref: [1, C, 1024] padded point coordinate planes.
+    q_ref: [1, 128, 3] query tile. out_ref: [1, 128, K] int32.
+    count_ref: [128, 128] i32 scratch (col 0 = hits-so-far per query).
+    buf_ref: [128, K] i32 scratch (selected indices, BIG = empty).
+    """
+    C = x_ref.shape[1]
+    W = _BQ_CHUNK
+    K = num_samples
+    BIG = jnp.int32(2**30)
+    q = q_ref[0]  # [128, 3]
+    qn = jnp.sum(q * q, axis=1, keepdims=True)  # [128, 1]
+    buf_ref[:] = jnp.full((128, K), BIG, jnp.int32)
+    count_ref[:] = jnp.zeros((128, 128), jnp.int32)
+    lane = lax.broadcasted_iota(jnp.int32, (1, W), 1)
+    # inclusive-cumsum operator over the chunk (values <= 1024: exact in f32)
+    tri = (
+        lax.broadcasted_iota(jnp.int32, (W, W), 0)
+        <= lax.broadcasted_iota(jnp.int32, (W, W), 1)
+    ).astype(jnp.float32)
+    slot_iota = lax.broadcasted_iota(jnp.int32, (128, K), 1)
+
+    def cond(c):
+        return (c < C) & (jnp.min(count_ref[:, 0]) < K)
+
+    def body(c):
+        px = x_ref[0, pl.ds(c, 1), :]  # [1, W]
+        py = y_ref[0, pl.ds(c, 1), :]
+        pz = z_ref[0, pl.ds(c, 1), :]
+        p = jnp.concatenate([px, py, pz], axis=0)  # [3, W]
+        dot = jnp.dot(q, p, preferred_element_type=jnp.float32)  # [128, W]
+        pn = px * px + py * py + pz * pz  # [1, W]
+        d2 = qn + pn - 2.0 * dot
+        flat = c * W + lane  # [1, W] global point index
+        hit = (d2 < radius_sqr) & (flat < n_points)
+        hit_f = hit.astype(jnp.float32)
+        rank = jnp.dot(
+            hit_f, tri, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)  # [128, W]
+        nhits = rank[:, W - 1][:, None]  # [128, 1]
+        count = count_ref[:, 0][:, None]  # [128, 1]
+        # any new hits for queries that still have open slots?
+        useful = jnp.max(jnp.where(count < K, nhits, 0)) > 0
+
+        @pl.when(useful)
+        def _():
+            slotpos = jnp.where(hit, count + rank - 1, BIG)  # [128, W]
+            masked_flat = jnp.where(hit, flat, BIG)
+            new_cols = [
+                jnp.min(
+                    jnp.where(slotpos >= s, masked_flat, BIG),
+                    axis=1, keepdims=True,
+                )
+                for s in range(K)
+            ]
+            cand_all = jnp.concatenate(new_cols, axis=1)  # [128, K]
+            cand_all = jnp.where(slot_iota >= count, cand_all, BIG)
+            buf_ref[:] = jnp.minimum(buf_ref[:], cand_all)
+
+        count_ref[:] = count_ref[:] + nhits
+        return c + 1
+
+    lax.while_loop(cond, body, jnp.int32(0))
+    buf = buf_ref[:]
+    first = buf[:, :1]
+    buf = jnp.where(buf == BIG, first, buf)
+    out_ref[0] = jnp.where(buf == BIG, 0, buf)
+
+
+@functools.partial(jax.jit, static_argnames=("radius", "num_samples"))
+def ball_query_pallas(
+    points: jax.Array, queries: jax.Array, radius: float, num_samples: int
+) -> jax.Array:
+    """[B, N, 3] x [B, S, 3] -> [B, S, K] int32, CUDA ball-query semantics
+    (first K in-radius points in scan order, short lists padded with the
+    first hit). S is padded to a multiple of 128 internally; K <= 128."""
+    B, N, _ = points.shape
+    S = queries.shape[1]
+    assert num_samples <= 128
+    n_pad = -(-N // _BQ_CHUNK) * _BQ_CHUNK
+    C = n_pad // _BQ_CHUNK
+    coords = jnp.moveaxis(points, -1, 1)
+    if n_pad != N:
+        coords = jnp.pad(coords, ((0, 0), (0, 0), (0, n_pad - N)))
+    planes = coords.reshape(B, 3, C, _BQ_CHUNK)
+    x, y, z = planes[:, 0], planes[:, 1], planes[:, 2]
+    s_pad = -(-S // 128) * 128
+    if s_pad != S:
+        queries = jnp.pad(queries, ((0, 0), (0, s_pad - S), (0, 0)))
+    kernel = functools.partial(
+        _ball_query_kernel,
+        radius_sqr=float(radius) ** 2,
+        num_samples=num_samples,
+        n_points=N,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, s_pad // 128),
+        in_specs=[
+            pl.BlockSpec((1, C, _BQ_CHUNK), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, _BQ_CHUNK), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, _BQ_CHUNK), lambda b, s: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 128, 3), lambda b, s: (b, s, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 128, num_samples), lambda b, s: (b, s, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, s_pad, num_samples), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((128, 128), jnp.int32),
+            pltpu.VMEM((128, num_samples), jnp.int32),
+        ],
+    )(x, y, z, queries)
+    return out[:, :S]
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples",))
 def farthest_point_sample_pallas(
     points: jax.Array, num_samples: int

@@ -57,6 +57,19 @@ def test_hungarian_profit_is_optimal(rng):
         assert len(np.unique(match[b, :r])) == r
 
 
+def test_hungarian_device_matches_host(rng):
+    P, W, X, X_gt, T, I_gt, T_gt, pts, gtp = _rand_problem(rng)
+    md = np.asarray(losses.hungarian_matching(jnp.array(W), jnp.array(I_gt), impl="device"))
+    mh = np.asarray(losses.hungarian_matching(jnp.array(W), jnp.array(I_gt), impl="host"))
+    iou, n_gt = losses.riou_matching_cost(jnp.array(W), jnp.array(I_gt))
+    iou, n_gt = np.asarray(iou), np.asarray(n_gt)
+    for b in range(W.shape[0]):
+        r = n_gt[b]
+        pd = iou[b, :r][np.arange(r), md[b, :r]].sum()
+        ph = iou[b, :r][np.arange(r), mh[b, :r]].sum()
+        assert abs(pd - ph) < 1e-4
+
+
 def test_hungarian_inside_jit(rng):
     P, W, X, X_gt, T, I_gt, T_gt, pts, gtp = _rand_problem(rng)
 
