@@ -135,7 +135,9 @@ def farthest_point_sample(
     return idxs
 
 
-@functools.partial(jax.jit, static_argnames=("num_samples", "impl"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "num_samples", "impl")
+)
 def ball_query(
     points: jax.Array,
     queries: jax.Array,
