@@ -80,27 +80,20 @@ def main():
 
     import jax.numpy as jnp
 
-    def run_one(cloud, seed):
-        P_hr, P_lr, pool = cloud
-        out = runner.run_cloud(
-            P_hr, P_lr, pool_indices=pool, rng=np.random.RandomState(seed)
-        )
-        # materialize the hard fused segmentation: forces the full pipeline
-        # to drain (block_until_ready does not on all PJRT backends)
-        hard = np.asarray(jnp.argmax(out["W"], axis=1))
-        return out["n_patches"], hard
-
     log("warmup (compilation)...")
     t0 = time.time()
-    n_p, _ = run_one(clouds[0], 0)
-    log(f"warmup done in {time.time() - t0:.1f}s; n_patches={n_p}")
+    for out in runner.run_clouds(clouds[:1], rng=np.random.RandomState(0)):
+        np.asarray(jnp.argmax(out["W"], axis=1))
+    log(f"warmup done in {time.time() - t0:.1f}s; n_patches={out['n_patches']}")
 
-    log(f"timing {N_CLOUDS} clouds...")
+    log(f"timing {N_CLOUDS} clouds (pipelined)...")
     t0 = time.time()
     n_patches_total = 0
-    for i, cloud in enumerate(clouds):
-        n_p, _ = run_one(cloud, i)
-        n_patches_total += n_p
+    for out in runner.run_clouds(clouds, rng=np.random.RandomState(1)):
+        # materialize the hard fused segmentation: forces the pipeline to
+        # drain (block_until_ready does not on all PJRT backends)
+        np.asarray(jnp.argmax(out["W"], axis=1))
+        n_patches_total += out["n_patches"]
     elapsed = time.time() - t0
     clouds_per_sec = N_CLOUDS / elapsed
     log(

@@ -204,3 +204,89 @@ class CascadeRunner:
             "patch_indices": patch_idx,
             "n_patches": n_patches,
         }
+
+    # ------------------------------------------------------------------
+    # pipelined multi-cloud execution
+    # ------------------------------------------------------------------
+    def _phase1(self, P_hr, P_lr):
+        """Dispatch the device-only front half (global fwd + heatmap) without
+        forcing a host sync — JAX's async dispatch keeps the device busy
+        while the host finishes the previous cloud."""
+        g = self.global_model
+        P_hr_j = jnp.asarray(P_hr, jnp.float32)
+        glob = self._global_fwd(g.params, g.state, P_hr_j)
+        labels = None
+        if self.patchselec_model is not None:
+            m = self.patchselec_model
+            labels = self._ps_fwd(
+                m.params, m.state,
+                self._normalize_cloud(jnp.asarray(P_lr, jnp.float32)),
+            )
+        return {"P_hr_j": P_hr_j, "glob": glob, "ps_labels": labels}
+
+    def _phase2(self, staged, P_hr, P_lr, pool_indices, rng):
+        """Host patch extraction + local forward + fusion for one cloud."""
+        X_g, T_g, W_hard, global_feat, point_feat = staged["glob"]
+        P_hr_j = staged["P_hr_j"]
+        if pool_indices is None:
+            pool_indices = np.where(np.asarray(staged["ps_labels"]))[0]
+        if len(pool_indices) > 0:
+            patch_idx = sample_patches(
+                P_lr, P_hr, pool_indices,
+                num_points_patch=self.num_points_patch,
+                max_number_patches=self.max_patches,
+                rng=rng,
+            )
+        else:
+            patch_idx = np.zeros((0, self.num_points_patch), np.int64)
+        n_patches = patch_idx.shape[0]
+        if n_patches > 0:
+            padded_idx = np.zeros(
+                (self.max_patches, self.num_points_patch), np.int64
+            )
+            padded_idx[:n_patches] = patch_idx
+            mask = np.zeros((self.max_patches,), np.float32)
+            mask[:n_patches] = 1.0
+            idx_j = jnp.asarray(padded_idx, jnp.int32)
+            patches = self._normalize_patches(P_hr_j, idx_j)
+            lm = self.local_model
+            X_p, T_p, W_p = self._local_fwd(lm.params, lm.state, patches)
+            W_f, X_f, T_f = fuse_cascade(
+                W_p, X_p, T_p, idx_j, W_hard, X_g, T_g,
+                self.n_max_global, self.n_max_local,
+                patch_mask=mask, out_width=self.out_width,
+            )
+        else:
+            W_f, X_f, T_f = fuse_cascade(
+                np.zeros((0, self.num_points_patch, self.n_max_local), np.float32),
+                np.zeros((0, self.num_points_patch, 3), np.float32),
+                np.zeros((0, self.num_points_patch, T_g.shape[-1]), np.float32),
+                np.zeros((0, self.num_points_patch), np.int64),
+                W_hard, X_g, T_g,
+                self.n_max_global, self.n_max_local,
+                out_width=self.out_width,
+            )
+        return {
+            "W": W_f, "X": X_f, "T": T_f,
+            "global_W": W_hard, "global_X": X_g, "global_T": T_g,
+            "global_feat": global_feat, "point_feat": point_feat,
+            "patch_indices": patch_idx, "n_patches": n_patches,
+        }
+
+    def run_clouds(self, clouds, rng: np.random.RandomState | None = None):
+        """Software-pipelined cascade over an iterable of
+        (P_hr, P_lr, pool_indices_or_None): cloud i+1's device front half is
+        dispatched before cloud i's host-side back half runs, overlapping
+        host work and device compute. Yields per-cloud result dicts."""
+        rng = rng or np.random
+        staged = None
+        prev = None
+        for cloud in clouds:
+            cur = (cloud, self._phase1(cloud[0], cloud[1]))
+            if staged is not None:
+                (p_hr, p_lr, pool), st = staged
+                yield self._phase2(st, p_hr, p_lr, pool, rng)
+            staged = cur
+        if staged is not None:
+            (p_hr, p_lr, pool), st = staged
+            yield self._phase2(st, p_hr, p_lr, pool, rng)
