@@ -169,10 +169,15 @@ def batch_iterator(
     shuffle: bool = True,
     drop_last: bool = True,
     keys=None,
+    identical_epochs: bool = False,
+    seed: int = 12345,
 ):
     """Yield stacked batch dicts. With shuffle, a fresh permutation per pass
-    (the reference's RandomSampler)."""
+    (the reference's RandomSampler); `identical_epochs` re-seeds the
+    permutation every pass (RandomSampler(identical_epochs=True))."""
     n = len(dataset)
+    if identical_epochs:
+        rng = np.random.RandomState(seed)
     order = (
         rng.permutation(n) if (shuffle and rng is not None) else np.arange(n)
     )

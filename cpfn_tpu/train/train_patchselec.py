@@ -97,6 +97,7 @@ def main(argv=None):
     key = jax.random.PRNGKey(7)
     shuffle_rng = np.random.RandomState(12345)
     best_val = np.inf
+    pending = None
     for epoch in range(conf.n_epochs):
         for batch in batch_iterator(
             train_ds, conf.batch_size, rng=shuffle_rng,
@@ -108,7 +109,9 @@ def main(argv=None):
                 jax.device_put({k: jnp.asarray(v) for k, v in batch.items()}),
                 jnp.int32(step_idx), sub,
             )
-            logger.log(step_idx, metrics)
+            if pending is not None:
+                logger.log(step_idx - 1, pending)
+            pending = metrics
             step_idx += 1
             if args.max_steps and step_idx >= args.max_steps:
                 break

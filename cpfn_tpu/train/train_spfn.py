@@ -154,6 +154,8 @@ def main(argv=None):
     key = jax.random.PRNGKey(123)
     shuffle_rng = np.random.RandomState(12345)
     best_val = np.inf
+    pending = None  # one-step-lagged metric materialization: logging step i
+    # while the device runs step i+1 keeps the dispatch pipeline full
     for epoch in range(conf.n_epochs):
         for batch in batch_iterator(
             train_ds, conf.batch_size, rng=shuffle_rng, keys=_BATCH_KEYS
@@ -164,7 +166,9 @@ def main(argv=None):
                 put({k: jnp.asarray(v) for k, v in batch.items()}),
                 put_scalar(jnp.int32(step_idx)), put_scalar(sub),
             )
-            logger.log(step_idx, metrics)
+            if pending is not None:
+                logger.log(step_idx - 1, pending)
+            pending = metrics
             step_idx += 1
             if args.max_steps and step_idx >= args.max_steps:
                 break
