@@ -147,63 +147,10 @@ class CascadeRunner:
         are device-resident (jax arrays) — convert with np.asarray only what
         you need on the host.
         """
-        g = self.global_model
-        P_hr_j = jnp.asarray(P_hr, jnp.float32)
-        X_g, T_g, W_hard, global_feat, point_feat = self._global_fwd(
-            g.params, g.state, P_hr_j
+        staged = self._phase1(
+            P_hr, P_lr if pool_indices is None else None
         )
-        if pool_indices is None:
-            pool_indices = self.select_pool(jnp.asarray(P_lr, jnp.float32))
-
-        if len(pool_indices) > 0:
-            patch_idx = sample_patches(
-                P_lr, P_hr, pool_indices,
-                num_points_patch=self.num_points_patch,
-                max_number_patches=self.max_patches,
-                rng=rng,
-            )
-        else:
-            patch_idx = np.zeros((0, self.num_points_patch), np.int64)
-        n_patches = patch_idx.shape[0]
-
-        if n_patches > 0:
-            padded_idx = np.zeros(
-                (self.max_patches, self.num_points_patch), np.int64
-            )
-            padded_idx[:n_patches] = patch_idx
-            mask = np.zeros((self.max_patches,), np.float32)
-            mask[:n_patches] = 1.0
-            idx_j = jnp.asarray(padded_idx, jnp.int32)
-            patches = self._normalize_patches(P_hr_j, idx_j)
-            lm = self.local_model
-            X_p, T_p, W_p = self._local_fwd(lm.params, lm.state, patches)
-            W_f, X_f, T_f = fuse_cascade(
-                W_p, X_p, T_p, idx_j, W_hard, X_g, T_g,
-                self.n_max_global, self.n_max_local,
-                patch_mask=mask, out_width=self.out_width,
-            )
-        else:
-            W_f, X_f, T_f = fuse_cascade(
-                np.zeros((0, self.num_points_patch, self.n_max_local), np.float32),
-                np.zeros((0, self.num_points_patch, 3), np.float32),
-                np.zeros((0, self.num_points_patch, T_g.shape[-1]), np.float32),
-                np.zeros((0, self.num_points_patch), np.int64),
-                W_hard, X_g, T_g,
-                self.n_max_global, self.n_max_local,
-                out_width=self.out_width,
-            )
-        return {
-            "W": W_f,
-            "X": X_f,
-            "T": T_f,
-            "global_W": W_hard,
-            "global_X": X_g,
-            "global_T": T_g,
-            "global_feat": global_feat,
-            "point_feat": point_feat,
-            "patch_indices": patch_idx,
-            "n_patches": n_patches,
-        }
+        return self._phase2(staged, P_hr, P_lr, pool_indices, rng or np.random)
 
     # ------------------------------------------------------------------
     # pipelined multi-cloud execution
@@ -211,12 +158,13 @@ class CascadeRunner:
     def _phase1(self, P_hr, P_lr):
         """Dispatch the device-only front half (global fwd + heatmap) without
         forcing a host sync — JAX's async dispatch keeps the device busy
-        while the host finishes the previous cloud."""
+        while the host finishes the previous cloud. P_lr=None skips the
+        patch-selection forward (caller supplies the pool)."""
         g = self.global_model
         P_hr_j = jnp.asarray(P_hr, jnp.float32)
         glob = self._global_fwd(g.params, g.state, P_hr_j)
         labels = None
-        if self.patchselec_model is not None:
+        if self.patchselec_model is not None and P_lr is not None:
             m = self.patchselec_model
             labels = self._ps_fwd(
                 m.params, m.state,
