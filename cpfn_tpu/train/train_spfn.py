@@ -177,15 +177,17 @@ def main(argv=None):
         if epoch % conf.val_interval == 0 and epoch > 0:
             val_loss, n = 0.0, 0
             for batch in batch_iterator(
-                val_ds, conf.batch_size, rng=shuffle_rng, keys=_BATCH_KEYS
+                val_ds, min(conf.batch_size, len(val_ds)),
+                rng=shuffle_rng, keys=_BATCH_KEYS,
             ):
+                bs = len(batch["P"])
                 _, m = eval_fn(
                     params, state,
                     put({k: jnp.asarray(v) for k, v in batch.items()}),
                 )
-                val_loss += float(m["total_loss"]) * conf.batch_size
-                n += conf.batch_size
-            val_loss /= max(n, 1)
+                val_loss += float(m["total_loss"]) * bs
+                n += bs
+            val_loss = val_loss / n if n else float("inf")
             print(f"[epoch {epoch}] val_loss {val_loss:.4f}")
             if val_loss < best_val:
                 best_val = val_loss
