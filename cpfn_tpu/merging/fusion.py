@@ -179,6 +179,7 @@ def fuse_cascade(
     threshold: float = 0,
     patch_mask: np.ndarray | None = None,
     out_width: int | None = None,
+    merge_impl: str = "device",
 ):
     """Full cascade fusion for one cloud.
 
@@ -219,6 +220,29 @@ def fuse_cascade(
         jnp.asarray(patch_indices, jnp.int32),
         N,
     )
+    K_l = n_max_local_instances
+    if merge_impl == "device" and out_width is not None:
+        # fully on-device path: no host sync anywhere in the cascade
+        from cpfn_tpu.merging.device_merge import heuristic_merge_device
+
+        labels = heuristic_merge_device(
+            similarity, P, n_max_global_instances, K_l, threshold
+        )
+        n_ids = similarity.shape[0] + K_l + K_g
+        fused = get_point_final(point2primitive, labels, n_ids)
+        width = max(out_width, K_g)
+        # replacement/empty clusters carry zero mass; the >1 filter drops them
+        fused, _ = _compact_columns(fused, jnp.int32(n_ids), width)
+        X_global, T_global = _fuse_normals_types(
+            jnp.asarray(patch_X, jnp.float32),
+            jnp.asarray(patch_T, jnp.float32),
+            jnp.asarray(patch_indices, jnp.int32),
+            jnp.asarray(spfn_normals, jnp.float32),
+            jnp.asarray(spfn_type, jnp.float32),
+            spfn_type.shape[1],
+            None if patch_mask is None else jnp.asarray(patch_mask, jnp.float32),
+        )
+        return fused, X_global, T_global
     labels = run_heuristic_solver(
         np.asarray(similarity),
         P,

@@ -141,3 +141,47 @@ def test_fuse_cascade_patch_overrides_global(rng):
     np.testing.assert_allclose(X[10:], [[1, 0, 0]] * 30, atol=1e-6)
     np.testing.assert_allclose(T[:10, 1], 1.0)
     np.testing.assert_allclose(T[10:, 0], 1.0)
+
+
+def test_device_merge_matches_host(rng):
+    """Partition equivalence of the on-device greedy merge vs the C++/NumPy
+    solver on random similarity matrices."""
+    from cpfn_tpu.merging.device_merge import heuristic_merge_device
+
+    for trial in range(6):
+        P, K_l, K_g = 3, 4, 5
+        C = P * K_l + K_g
+        A = rng.rand(C, C)
+        sim = (A + A.T) / 2
+        sim[rng.rand(C, C) < 0.5] = 0.0
+        sim = (sim + sim.T) / 2
+        host = native.heuristic_merge_solver(sim, P, K_g, K_l, 0.0)
+        dev = np.asarray(
+            heuristic_merge_device(jnp.asarray(sim), P, K_g, K_l, 0.0)
+        )
+        # same partition: co-membership must agree pairwise
+        co_h = host[:, None] == host[None, :]
+        co_d = dev[:, None] == dev[None, :]
+        np.testing.assert_array_equal(co_h, co_d)
+
+
+def test_fuse_cascade_device_merge_matches_host(rng):
+    N, K_g, K_l, Q, n, P = 60, 4, 3, 4, 12, 2
+    spfn_labels = np.eye(K_g, dtype=np.float32)[rng.randint(0, K_g, N)]
+    normals = rng.randn(N, 3).astype(np.float32)
+    types = rng.rand(N, Q).astype(np.float32)
+    idx = np.stack([rng.choice(N, n, replace=False) for _ in range(P)])
+    pw = rng.rand(P, n, K_l).astype(np.float32)
+    pw = pw / pw.sum(-1, keepdims=True)
+    px = rng.randn(P, n, 3).astype(np.float32)
+    pt = rng.rand(P, n, Q).astype(np.float32)
+    out_h = fuse_cascade(
+        pw, px, pt, idx, spfn_labels, normals, types, K_g, K_l,
+        out_width=K_g + K_l, merge_impl="host",
+    )
+    out_d = fuse_cascade(
+        pw, px, pt, idx, spfn_labels, normals, types, K_g, K_l,
+        out_width=K_g + K_l, merge_impl="device",
+    )
+    for a, b in zip(out_h, out_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
