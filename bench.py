@@ -42,8 +42,9 @@ def main():
     log(f"devices: {jax.devices()}")
     rng = np.random.RandomState(0)
     scene_cfg = SyntheticSceneConfig(
-        n_points=N_HR, n_max_instances=K_G, min_instances=6, max_instances=12,
-        n_gt_points_per_instance=512,
+        n_points=N_HR, n_max_instances=K_G, min_instances=10,
+        max_instances=16, n_gt_points_per_instance=512,
+        n_small_primitives=8,  # drives a realistic multi-patch cascade
     )
     factory.register_primitives(list(scene_cfg.classes))
 

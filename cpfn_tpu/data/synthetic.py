@@ -28,9 +28,10 @@ class SyntheticSceneConfig:
     noise_sigma: float = 0.01
     # registration order of the shipped configs
     classes: tuple[str, ...] = ("sphere", "plane", "cylinder", "cone")
-    # fraction of points given to one deliberately small primitive, to give
-    # the patch-selection task signal
+    # deliberately small primitives (tiny point share) give the
+    # patch-selection task signal and drive realistic cascade patch counts
     include_small_primitive: bool = True
+    n_small_primitives: int = 1
 
 
 def _random_primitive(rng: np.random.RandomState, name: str, scale: float = 1.0):
@@ -115,13 +116,20 @@ def make_synthetic_scene(
         cfg.classes[rng.randint(len(cfg.classes))] for _ in range(n_instances)
     ]
     prims = [_random_primitive(rng, nm) for nm in names]
-    if cfg.include_small_primitive and n_instances >= 2:
-        prims[-1] = _random_primitive(rng, names[-1], scale=0.15)
+    n_small = (
+        min(cfg.n_small_primitives, n_instances - 1)
+        if (cfg.include_small_primitive and n_instances >= 2)
+        else 0
+    )
+    for t in range(n_small):
+        prims[-1 - t] = _random_primitive(rng, names[-1 - t], scale=0.15)
 
-    # allocate points: the small primitive (if any) gets ~1.5% of the cloud
+    # allocate points: each small primitive gets ~1.5% of the cloud
     weights = rng.uniform(0.5, 1.5, n_instances)
-    if cfg.include_small_primitive and n_instances >= 2:
-        weights[-1] = 0.015 * weights[:-1].sum() / (1 - 0.015)
+    if n_small:
+        big_sum = weights[: n_instances - n_small].sum()
+        share = 0.015 / (1 - 0.015 * n_small)
+        weights[n_instances - n_small :] = share * big_sum
     counts = np.maximum(
         (weights / weights.sum() * cfg.n_points).astype(int), 8
     )
