@@ -46,6 +46,9 @@ def main(argv=None):
     if args.first_n != -1:
         files = files[: args.first_n]
     table = ResultsTable()
+    stats = ResultsTable(
+        columns=["Filename", "Primitive Id", "Mask", "Nb Points", "mIoU"]
+    )
     mious = []
     for i, path in enumerate(files):
         stem = os.path.basename(path).rsplit(".h5", 1)[0]
@@ -63,6 +66,21 @@ def main(argv=None):
             spfn_labels, spfn_normals, spfn_type,
             k_g, conf.n_max_local_instances,
         )
+        # per-primitive IoU stats of the global-only segmentation
+        from cpfn_tpu.losses import compute_miou_loss, hungarian_matching_with_mask
+        from cpfn_tpu.metrics import hard_W_encoding
+
+        I_gt_j = jnp.asarray(rec["I_gt"])[None]
+        W_hard = hard_W_encoding(W_f[None])
+        match_f, mask_f = hungarian_matching_with_mask(W_hard, I_gt_j)
+        mask_f = mask_f.astype(jnp.float32)
+        miou_per_prim = 1.0 - compute_miou_loss(W_hard, I_gt_j, match_f)[0]
+        _, counts = np.unique(rec["I_gt"], return_counts=True)
+        for j in range(len(counts)):
+            stats.add(
+                stem, j, float(mask_f[0, j]), int(counts[j]),
+                float(miou_per_prim[0, j]),
+            )
         m = compute_all_metrics(
             jnp.asarray(rec["P"])[None], X_f[None],
             jnp.asarray(rec["normal_gt"])[None], W_f[None],
@@ -84,7 +102,10 @@ def main(argv=None):
         )
         if i % 100 == 0:
             print(f"[{i}/{len(files)}] mIoU {np.mean(mious):.4f}", flush=True)
-    table.write(os.path.join(args.output_folder, "Results.csv"))
+    table.write(os.path.join(args.output_folder, "Results_baseline.csv"))
+    stats.write(
+        os.path.join(args.output_folder, "Results_Stats_baseline.csv")
+    )
     print(f"done: mean mIoU {np.mean(mious):.4f}")
     return table
 

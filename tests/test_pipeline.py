@@ -231,4 +231,5 @@ def test_full_pipeline(tmp_path, rng):
         "--csv_dir", csv_dir, "--dir_spfn", spfn_out,
         "--output_folder", base_out,
     ])
-    assert os.path.isfile(os.path.join(base_out, "Results.csv"))
+    assert os.path.isfile(os.path.join(base_out, "Results_baseline.csv"))
+    assert os.path.isfile(os.path.join(base_out, "Results_Stats_baseline.csv"))
