@@ -53,6 +53,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--n_points", type=int, default=8192)
     p.add_argument("--max_steps", type=int, default=0,
                    help="stop after N optimizer steps (0 = by epochs)")
+    p.add_argument("--snapshot_steps", type=int, default=500,
+                   help="checkpoint every N steps (0 = off); enables resume "
+                        "after preemption/backend loss")
     return p
 
 
@@ -170,6 +173,8 @@ def main(argv=None):
                 logger.log(step_idx - 1, pending)
             pending = metrics
             step_idx += 1
+            if args.snapshot_steps and step_idx % args.snapshot_steps == 0:
+                save_checkpoint(ckpt_dir, step_idx, params, state, opt_state)
             if args.max_steps and step_idx >= args.max_steps:
                 break
         if args.max_steps and step_idx >= args.max_steps:
