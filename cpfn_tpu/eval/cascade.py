@@ -53,6 +53,7 @@ class CascadeRunner:
         max_patches: int = 32,
         scale: float = 0.05,
         out_width: int | None = None,
+        mesh=None,
     ):
         self.global_model = global_model
         self.patchselec_model = patchselec_model
@@ -92,13 +93,43 @@ class CascadeRunner:
 
             self._ps_fwd = jax.jit(ps_fwd)
 
-        def local_fwd(params, state, patches):
-            out, _ = apply_pointnet2(
-                params, state, local_model.cfg, patches, train=False
-            )
-            return spfn_postprocess(out)
+        if mesh is not None:
+            # patch-axis parallelism: the <=32 local patches shard over the
+            # mesh (the CPFN analogue of sequence parallelism)
+            from cpfn_tpu.parallel import make_patch_parallel_forward, replicate
 
-        self._local_fwd = jax.jit(local_fwd)
+            assert max_patches % mesh.devices.size == 0, (
+                max_patches, mesh.devices.size,
+            )
+            sharded_fwd = make_patch_parallel_forward(local_model.cfg, mesh)
+            lp = replicate(local_model.params, mesh)
+            ls = replicate(local_model.state, mesh)
+            gd = local_model.cfg.glob_feature_dim
+            ld = local_model.cfg.loc_feature_dim
+
+            def local_fwd_mesh(params, state, patches):
+                del params, state
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                sh = NamedSharding(mesh, P("dp"))
+                patches = jax.device_put(patches, sh)
+                glob = jax.device_put(
+                    jnp.zeros((patches.shape[0], gd), jnp.float32), sh
+                )
+                loc = jax.device_put(
+                    jnp.zeros((patches.shape[0], ld), jnp.float32), sh
+                )
+                return sharded_fwd(lp, ls, patches, glob, loc)
+
+            self._local_fwd = local_fwd_mesh
+        else:
+            def local_fwd(params, state, patches):
+                out, _ = apply_pointnet2(
+                    params, state, local_model.cfg, patches, train=False
+                )
+                return spfn_postprocess(out)
+
+            self._local_fwd = jax.jit(local_fwd)
 
         def normalize_patches(P_hr, idx):
             raw = P_hr[idx]  # [P, n, 3]

@@ -105,3 +105,48 @@ def test_cascade_gt_oracle_pool(rng):
         covered = np.unique(out["patch_indices"])
         seed_hr = lr_idx[pool]
         assert np.isin(seed_hr, covered).mean() > 0.5
+
+
+def test_cascade_with_patch_parallel_mesh(rng):
+    """Cascade with the patch axis sharded over the 8-device CPU mesh must
+    match the single-device cascade."""
+    import pytest
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multi-device backend")
+    from cpfn_tpu.parallel import make_mesh
+
+    scene_cfg = SyntheticSceneConfig(
+        n_points=N_HR, n_max_instances=K_G, min_instances=3, max_instances=5,
+        n_gt_points_per_instance=64,
+    )
+    factory.register_primitives(list(scene_cfg.classes))
+    scene = make_synthetic_scene(rng, scene_cfg)
+    P_hr = scene["noisy_points"]
+    lr_idx = rng.choice(N_HR, N_LR, replace=False)
+    P_lr = P_hr[lr_idx]
+    pool = np.arange(16)  # fixed pool for determinism
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    bundles = [
+        _bundle(keys[0], (3, Q, K_G)),
+        _bundle(keys[1], (2,)),
+        _bundle(keys[2], (3, Q, K_L)),
+    ]
+    kw = dict(
+        n_max_global_instances=K_G, n_max_local_instances=K_L,
+        num_points_patch=N_PATCH, max_patches=8,
+    )
+    single = CascadeRunner(*bundles, **kw)
+    meshed = CascadeRunner(*bundles, mesh=make_mesh(), **kw)
+    out_s = single.run_cloud(P_hr, P_lr, pool_indices=pool,
+                             rng=np.random.RandomState(3))
+    out_m = meshed.run_cloud(P_hr, P_lr, pool_indices=pool,
+                             rng=np.random.RandomState(3))
+    assert out_s["n_patches"] == out_m["n_patches"]
+    np.testing.assert_allclose(
+        np.asarray(out_s["W"]), np.asarray(out_m["W"]), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_s["X"]), np.asarray(out_m["X"]), atol=1e-4
+    )
