@@ -28,12 +28,20 @@ def linear_init(key: jax.Array, cin: int, cout: int, dtype=jnp.float32):
     }
 
 
-def linear_apply(params, x: jax.Array) -> jax.Array:
-    """x: [..., cin] -> [..., cout]. The pointwise (1x1) convolution."""
+def linear_apply(params, x: jax.Array, compute_dtype=None) -> jax.Array:
+    """x: [..., cin] -> [..., cout]. The pointwise (1x1) convolution.
+
+    With compute_dtype=bfloat16 the matmul inputs are cast down (params stay
+    f32) and the MXU accumulates in f32 — the standard TPU mixed-precision
+    recipe. Output is always f32.
+    """
+    w = params["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     return (
         jnp.einsum(
-            "...i,io->...o", x, params["w"],
-            preferred_element_type=jnp.float32,
+            "...i,io->...o", x, w, preferred_element_type=jnp.float32,
         )
         + params["b"]
     )

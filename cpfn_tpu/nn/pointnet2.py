@@ -60,6 +60,9 @@ class PointNet2Config:
     fc_dim: int = 128
     dropout_rate: float = 0.5
     fps_impl: str = "auto"
+    # 'bfloat16' casts matmul inputs down (f32 accumulation, f32 params/BN) —
+    # the TPU mixed-precision recipe; None keeps full f32
+    compute_dtype: str | None = None
 
     @property
     def glob_feature_dim(self) -> int:
@@ -82,10 +85,11 @@ def _mlp_init(key, cin: int, widths: Sequence[int]):
     return {"convs": convs, "bns": bns}, {"bns": bn_states}
 
 
-def _mlp_apply(params, state, x, *, train, momentum, axis_name=None):
+def _mlp_apply(params, state, x, *, train, momentum, axis_name=None,
+               compute_dtype=None):
     new_bn_states = []
     for conv, bn, bn_state in zip(params["convs"], params["bns"], state["bns"]):
-        x = layers.linear_apply(conv, x)
+        x = layers.linear_apply(conv, x, compute_dtype)
         x, ns = layers.bn_apply(
             bn, bn_state, x, train=train, momentum=momentum,
             axis_name=axis_name,
@@ -147,6 +151,7 @@ def _set_abstraction(
     momentum,
     fps_impl,
     axis_name=None,
+    compute_dtype=None,
 ):
     """One SA block: FPS -> ball query -> group -> MLP -> max-pool over K."""
     idx = ops.farthest_point_sample(pos, num_points, impl=fps_impl)
@@ -160,19 +165,20 @@ def _set_abstraction(
         grouped = grouped_pos
     out, new_state = _mlp_apply(
         params, state, grouped, train=train, momentum=momentum,
-        axis_name=axis_name,
+        axis_name=axis_name, compute_dtype=compute_dtype,
     )
     return new_pos, jnp.max(out, axis=2), new_state  # [B, S, C']
 
 
-def _group_all(params, state, pos, feats, *, train, momentum, axis_name=None):
+def _group_all(params, state, pos, feats, *, train, momentum, axis_name=None,
+               compute_dtype=None):
     """The final SA block: single group over all points (positions first)."""
     grouped = pos[:, None]  # [B, 1, N, 3]
     if feats is not None:
         grouped = jnp.concatenate([grouped, feats[:, None]], axis=-1)
     out, new_state = _mlp_apply(
         params, state, grouped, train=train, momentum=momentum,
-        axis_name=axis_name,
+        axis_name=axis_name, compute_dtype=compute_dtype,
     )
     return jnp.max(out, axis=2), new_state  # [B, 1, C']
 
@@ -188,6 +194,7 @@ def _feature_propagation(
     train,
     momentum,
     axis_name=None,
+    compute_dtype=None,
 ):
     """One FP block: 3-NN inverse-distance interpolation + skip + MLP."""
     N = pos1.shape[1]
@@ -204,7 +211,8 @@ def _feature_propagation(
     else:
         x = interpolated
     return _mlp_apply(
-        params, state, x, train=train, momentum=momentum, axis_name=axis_name
+        params, state, x, train=train, momentum=momentum,
+        axis_name=axis_name, compute_dtype=compute_dtype,
     )
 
 
@@ -241,7 +249,12 @@ def apply_pointnet2(
     input_feats = (
         points[..., cfg.dim_pos :] if points.shape[-1] > cfg.dim_pos else None
     )
-    kw = dict(train=train, momentum=bn_momentum, axis_name=axis_name)
+    kw = dict(
+        train=train, momentum=bn_momentum, axis_name=axis_name,
+        compute_dtype=jnp.dtype(cfg.compute_dtype)
+        if cfg.compute_dtype
+        else None,
+    )
     new_state = {}
     l1_pos, l1_feats, new_state["sa1"] = _set_abstraction(
         params["sa1"], state["sa1"], input_pos, input_feats,

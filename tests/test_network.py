@@ -99,3 +99,17 @@ def test_grad_flows_through_network(rng):
     assert all(np.all(np.isfinite(np.asarray(l))) for l in leaves)
     # at least the head weights must receive nonzero gradient
     assert float(jnp.max(jnp.abs(g["heads"][0]["w"]))) > 0
+
+
+def test_bf16_compute_close_to_f32(rng):
+    import dataclasses
+
+    cfg = PointNet2Config(output_sizes=(3, 4, 7), **TINY)
+    params, state = init_pointnet2(jax.random.PRNGKey(0), cfg)
+    P = jnp.array(rng.randn(2, 128, 3), jnp.float32)
+    out32, _ = apply_pointnet2(params, state, cfg, P, train=False)
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    out16, _ = apply_pointnet2(params, state, cfg16, P, train=False)
+    # bf16 matmuls with f32 accumulation: small relative deviation
+    a, b = np.asarray(out32["heads"][0]), np.asarray(out16["heads"][0])
+    assert np.abs(a - b).max() < 0.15 * max(1.0, np.abs(a).max())
