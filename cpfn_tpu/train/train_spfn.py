@@ -154,6 +154,9 @@ def main(argv=None):
 
     eval_fn = jax.jit(make_spfn_eval_step(model_cfg, train_cfg))
     logger = MetricsLogger(conf.log_dir, name)
+    if conf.profile_dir:
+        # capture a jax.profiler trace of a few steps after warmup
+        profile_gate = {"active": False, "start": 3, "stop": 8}
     key = jax.random.PRNGKey(123)
     shuffle_rng = np.random.RandomState(12345)
     best_val = np.inf
@@ -164,6 +167,13 @@ def main(argv=None):
             train_ds, conf.batch_size, rng=shuffle_rng, keys=_BATCH_KEYS
         ):
             key, sub = jax.random.split(key)
+            if conf.profile_dir:
+                if step_idx == profile_gate["start"] and not profile_gate["active"]:
+                    jax.profiler.start_trace(conf.profile_dir)
+                    profile_gate["active"] = True
+                elif step_idx == profile_gate["stop"] and profile_gate["active"]:
+                    jax.profiler.stop_trace()
+                    profile_gate["active"] = False
             params, state, opt_state, metrics = step_fn(
                 params, state, opt_state,
                 put({k: jnp.asarray(v) for k, v in batch.items()}),
