@@ -34,6 +34,10 @@ def log(msg):
 def main():
     import jax
 
+    from cpfn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from cpfn_tpu.data import SyntheticSceneConfig, make_synthetic_scene
     from cpfn_tpu.eval import CascadeRunner, ModelBundle
     from cpfn_tpu.fitting import factory

@@ -41,6 +41,9 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     conf = Config.from_yaml(args.config_file)
+    from cpfn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     model_cfg = conf.model_config("PatchSelection")
     train_cfg = conf.train_config()
     name = f"patchselec_{round(args.scale, 2)}"

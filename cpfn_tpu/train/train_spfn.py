@@ -62,6 +62,9 @@ def build_argparser() -> argparse.ArgumentParser:
 def main(argv=None):
     args = build_argparser().parse_args(argv)
     conf = Config.from_yaml(args.config_file)
+    from cpfn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     factory.register_primitives(list(conf.list_of_primitives))
     model_cfg = conf.model_config(args.network)
     train_cfg = conf.train_config()

@@ -1,6 +1,25 @@
+import os
+
 from cpfn_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint, latest_step
 from cpfn_tpu.utils.logging import MetricsLogger
 from cpfn_tpu.utils.profiling import PhaseTimer, maybe_profile
+
+
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persistent XLA compilation cache: restarts of long jobs (and retries
+    after backend loss) skip the multi-minute recompile. Call early in
+    drivers, before the first jit execution."""
+    import jax
+
+    path = path or os.environ.get(
+        "CPFN_COMPILATION_CACHE", os.path.expanduser("~/.cache/cpfn_xla")
+    )
+    os.makedirs(path, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax or unsupported backend: harmless
 
 __all__ = [
     "save_checkpoint",
