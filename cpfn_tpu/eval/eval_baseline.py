@@ -45,6 +45,9 @@ def main(argv=None):
     )
     if args.first_n != -1:
         files = files[: args.first_n]
+    from cpfn_tpu.eval._util import make_metrics_fn
+
+    metrics_fn = make_metrics_fn(conf.list_of_primitives)
     table = ResultsTable()
     stats = ResultsTable(
         columns=["Filename", "Primitive Id", "Mask", "Nb Points", "mIoU"]
@@ -81,7 +84,7 @@ def main(argv=None):
                 stem, j, float(mask_f[0, j]), int(counts[j]),
                 float(miou_per_prim[0, j]),
             )
-        m = compute_all_metrics(
+        m = metrics_fn(
             jnp.asarray(rec["P"])[None], X_f[None],
             jnp.asarray(rec["normal_gt"])[None], W_f[None],
             jnp.asarray(rec["I_gt"])[None], T_f[None],

@@ -79,6 +79,10 @@ def main(argv=None):
         X, T, W = spfn_postprocess(out)
         return X, T, W, out["global_feat"], out["point_feat"]
 
+    from cpfn_tpu.eval._util import make_metrics_fn
+
+    metrics_fn = make_metrics_fn(conf.list_of_primitives)
+
     table = ResultsTable()
     mious = []
     for i in range(len(ds)):
@@ -98,7 +102,7 @@ def main(argv=None):
             np.asarray(rec["patch_centers"], np.int64)
         ].T
         W_hard = hard_W_encoding(W)
-        m = compute_all_metrics(
+        m = metrics_fn(
             P, X, jnp.asarray(rec["normal_gt"])[None], W_hard,
             jnp.asarray(rec["I_gt"])[None], T,
             jnp.asarray(rec["T_gt"])[None], jnp.asarray(rec["P_gt"])[None],

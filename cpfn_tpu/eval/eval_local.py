@@ -64,6 +64,10 @@ def main(argv=None):
     restored, _ = restore_checkpoint(ckpt, {"params": params, "state": state})
     params, state = restored["params"], restored["state"]
 
+    from cpfn_tpu.eval._util import make_metrics_fn
+
+    metrics_fn = make_metrics_fn(conf.list_of_primitives)
+
     @jax.jit
     def local_forward(patches):
         out, _ = apply_pointnet2(params, state, model_cfg, patches, train=False)
@@ -138,7 +142,7 @@ def main(argv=None):
                 stem, j, float(mask_f[0, j]), int(counts[j]),
                 float(miou_per_prim[0, j]),
             )
-        m = compute_all_metrics(
+        m = metrics_fn(
             P_hr[None], X_f[None], jnp.asarray(rec["normal_gt"])[None],
             W_hard[:, :, : k_g + k_l], I_gt, T_f[None],
             jnp.asarray(rec["T_gt"])[None], jnp.asarray(rec["P_gt"])[None],

@@ -65,7 +65,17 @@ def hungarian_matching(
     if impl == "device":
         from cpfn_tpu.losses.lsa_device import lsa_minimize_device
 
-        return lsa_minimize_device(jax.lax.stop_gradient(-iou), n_gt)
+        cost = jax.lax.stop_gradient(-iou)
+        try:
+            return lsa_minimize_device(cost, n_gt)
+        except Exception:
+            if isinstance(cost, jax.core.Tracer):
+                raise
+            # eager call on a flaky runtime (stale executable reload):
+            # fall back to the host solver — identical result
+            return jnp.asarray(
+                _host_lsa(np.asarray(cost), np.asarray(n_gt))
+            )
     B, K, _ = iou.shape
     out = jax.pure_callback(
         _host_lsa,

@@ -11,11 +11,15 @@ def enable_compilation_cache(path: str | None = None) -> None:
     drivers, before the first jit execution."""
     import jax
 
-    path = path or os.environ.get(
+    base = path or os.environ.get(
         "CPFN_COMPILATION_CACHE", os.path.expanduser("~/.cache/cpfn_xla")
     )
-    os.makedirs(path, exist_ok=True)
     try:
+        backend = jax.default_backend()
+        if backend not in ("tpu", "axon"):
+            return  # CPU AOT reload is unreliable in this image; TPU-only
+        path = os.path.join(base, backend)
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:

@@ -67,4 +67,8 @@ def restore_checkpoint(
     )
     out = mgr.restore(step, args=args)
     mgr.close()
-    return dict(out), step
+    # normalize to the default device: checkpoints written from mesh-
+    # replicated training would otherwise restore as multi-device arrays and
+    # poison later single-device jits with mixed shardings
+    out = jax.device_put(dict(out), jax.devices()[0])
+    return out, step
