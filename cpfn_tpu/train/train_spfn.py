@@ -56,6 +56,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--snapshot_steps", type=int, default=500,
                    help="checkpoint every N steps (0 = off); enables resume "
                         "after preemption/backend loss")
+    p.add_argument("--device_dataset", action="store_true",
+                   help="stage the full (preloaded) training set in HBM once "
+                        "and gather batches on device — removes the per-step "
+                        "host->device batch upload (single-device runs)")
     return p
 
 
@@ -155,6 +159,25 @@ def main(argv=None):
         def put_scalar(x):
             return x
 
+    gather_step = None
+    if args.device_dataset and n_dev == 1:
+        stacked = {
+            k: jnp.asarray(np.stack([train_ds[i][k] for i in range(len(train_ds))]))
+            for k in _BATCH_KEYS
+        }
+        data_dev = jax.device_put(stacked)
+        inner_step = make_spfn_train_step(model_cfg, train_cfg, optimizer=opt)
+
+        @jax.jit
+        def gather_step(params, state, opt_state, data, idx, step_i, rng):
+            batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            return inner_step(params, state, opt_state, batch, step_i, rng)
+
+        print(
+            f"device-resident dataset: "
+            f"{sum(v.nbytes for v in stacked.values()) / 1e6:.1f} MB in HBM"
+        )
+
     eval_fn = jax.jit(make_spfn_eval_step(model_cfg, train_cfg))
     logger = MetricsLogger(conf.log_dir, name)
     if conf.profile_dir:
@@ -165,10 +188,20 @@ def main(argv=None):
     best_val = np.inf
     pending = None  # one-step-lagged metric materialization: logging step i
     # while the device runs step i+1 keeps the dispatch pipeline full
+    n_train = len(train_ds)
     for epoch in range(conf.n_epochs):
-        for batch in batch_iterator(
-            train_ds, conf.batch_size, rng=shuffle_rng, keys=_BATCH_KEYS
-        ):
+        if gather_step is not None:
+            order = shuffle_rng.permutation(n_train)
+            batch_indices = [
+                order[s : s + conf.batch_size]
+                for s in range(0, n_train - conf.batch_size + 1, conf.batch_size)
+            ]
+            batches = (jnp.asarray(ix, jnp.int32) for ix in batch_indices)
+        else:
+            batches = batch_iterator(
+                train_ds, conf.batch_size, rng=shuffle_rng, keys=_BATCH_KEYS
+            )
+        for batch in batches:
             key, sub = jax.random.split(key)
             if conf.profile_dir:
                 if step_idx == profile_gate["start"] and not profile_gate["active"]:
@@ -177,11 +210,17 @@ def main(argv=None):
                 elif step_idx == profile_gate["stop"] and profile_gate["active"]:
                     jax.profiler.stop_trace()
                     profile_gate["active"] = False
-            params, state, opt_state, metrics = step_fn(
-                params, state, opt_state,
-                put({k: jnp.asarray(v) for k, v in batch.items()}),
-                put_scalar(jnp.int32(step_idx)), put_scalar(sub),
-            )
+            if gather_step is not None:
+                params, state, opt_state, metrics = gather_step(
+                    params, state, opt_state, data_dev, batch,
+                    jnp.int32(step_idx), sub,
+                )
+            else:
+                params, state, opt_state, metrics = step_fn(
+                    params, state, opt_state,
+                    put({k: jnp.asarray(v) for k, v in batch.items()}),
+                    put_scalar(jnp.int32(step_idx)), put_scalar(sub),
+                )
             if pending is not None:
                 logger.log(step_idx - 1, pending)
             pending = metrics
