@@ -134,7 +134,9 @@ def main(argv=None):
         W_hard = hard_W_encoding(W_f[None])
         match, mask_f = hungarian_matching_with_mask(W_hard, I_gt)
         mask_f = mask_f.astype(jnp.float32)
-        miou_fused = compute_segmentation_iou(W_hard, I_gt, match, mask_f)
+        # fused-segmentation mIoU (the reference logs it per cloud; our table
+        # reports the compute_all_metrics value below, which matches)
+        _ = compute_segmentation_iou(W_hard, I_gt, match, mask_f)
         miou_per_prim = 1.0 - compute_miou_loss(W_hard, I_gt, match)[0]
         _, counts = np.unique(rec["I_gt"], return_counts=True)
         for j in range(len(counts)):
