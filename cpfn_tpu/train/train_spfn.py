@@ -60,6 +60,9 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="stage the full (preloaded) training set in HBM once "
                         "and gather batches on device — removes the per-step "
                         "host->device batch upload (single-device runs)")
+    p.add_argument("--log_every", type=int, default=1,
+                   help="materialize/log train metrics every N steps (higher "
+                        "values reduce host<->device round trips)")
     return p
 
 
@@ -221,7 +224,7 @@ def main(argv=None):
                     put({k: jnp.asarray(v) for k, v in batch.items()}),
                     put_scalar(jnp.int32(step_idx)), put_scalar(sub),
                 )
-            if pending is not None:
+            if pending is not None and (step_idx - 1) % args.log_every == 0:
                 logger.log(step_idx - 1, pending)
             pending = metrics
             step_idx += 1
