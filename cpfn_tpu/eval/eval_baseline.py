@@ -18,7 +18,6 @@ from cpfn_tpu.config import Config
 from cpfn_tpu.data.hdf5 import read_spfn_hdf5
 from cpfn_tpu.fitting import factory
 from cpfn_tpu.merging import fuse_cascade
-from cpfn_tpu.metrics import compute_all_metrics
 from cpfn_tpu.train.train_spfn import read_csv_list
 from cpfn_tpu.utils.logging import ResultsTable
 

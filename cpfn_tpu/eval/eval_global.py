@@ -21,7 +21,7 @@ import numpy as np
 from cpfn_tpu.config import Config
 from cpfn_tpu.data import GlobalSPFNDataset
 from cpfn_tpu.fitting import factory
-from cpfn_tpu.metrics import compute_all_metrics, hard_W_encoding
+from cpfn_tpu.metrics import hard_W_encoding
 from cpfn_tpu.nn import apply_pointnet2, init_pointnet2
 from cpfn_tpu.nn.pointnet2 import spfn_postprocess
 from cpfn_tpu.train.train_spfn import read_csv_list

@@ -22,7 +22,7 @@ from cpfn_tpu.data.hdf5 import read_spfn_hdf5
 from cpfn_tpu.fitting import factory
 from cpfn_tpu.losses import compute_miou_loss, hungarian_matching_with_mask
 from cpfn_tpu.merging import fuse_cascade
-from cpfn_tpu.metrics import compute_all_metrics, compute_segmentation_iou, hard_W_encoding
+from cpfn_tpu.metrics import compute_segmentation_iou, hard_W_encoding
 from cpfn_tpu.nn import apply_pointnet2, init_pointnet2
 from cpfn_tpu.nn.pointnet2 import spfn_postprocess
 from cpfn_tpu.train.train_spfn import read_csv_list
