@@ -1,0 +1,153 @@
+"""Full-network numerical parity: our PointNet2 vs the reference's
+`PointNet2/pn2_network.py` with identical weights on CPU.
+
+The reference's CUDA ops are stubbed out (fast=False paths are pure torch).
+Three reference quirks are neutralized for an apples-to-apples run:
+- slow-path FPS starts at torch.randint — forced to 0 (the fast/CUDA path and
+  our implementation always start at index 0);
+- slow-path three_nn returns squared distances where the fast path (and we)
+  take the sqrt — patched to sqrt;
+- F.dropout defaults to training=True even in eval (reference bug we don't
+  reproduce) — patched to identity.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from cpfn_tpu.nn import PointNet2Config, apply_pointnet2, init_pointnet2
+
+
+def _load_reference_pn2():
+    try:
+        import torch
+    except ImportError:
+        return None
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    # stub the CUDA extension (only the fast paths touch it)
+    stub = types.ModuleType("cuda_ops")
+    for name in (
+        "farthest_point_sampling", "ball_query", "three_nn",
+        "three_weighted_sum", "three_weighted_sum_grad",
+        "gather_points", "gather_points_grad", "group_points",
+        "group_points_grad",
+    ):
+        setattr(stub, name, None)
+    sys.modules.setdefault("PointNet2.pointnet2_ops.cuda_ops", stub)
+    import PointNet2.pointnet2_ops as pops
+
+    pops.cuda_ops = stub
+    try:
+        from PointNet2 import pn2_network
+    except Exception:
+        return None
+    return pn2_network
+
+
+PN2 = _load_reference_pn2()
+needs_ref = pytest.mark.skipif(PN2 is None, reason="torch reference unavailable")
+
+
+def _port_weights(module, cfg):
+    """torch state -> our (params, state) pytrees."""
+    import torch
+
+    def lin(conv):
+        w = conv.weight.detach().numpy()
+        w = w.reshape(w.shape[0], w.shape[1])  # [out, in]
+        return {"w": jnp.asarray(w.T), "b": jnp.asarray(conv.bias.detach().numpy())}
+
+    def bn(b):
+        return (
+            {"scale": jnp.asarray(b.weight.detach().numpy()),
+             "bias": jnp.asarray(b.bias.detach().numpy())},
+            {"mean": jnp.asarray(b.running_mean.detach().numpy()),
+             "var": jnp.asarray(b.running_var.detach().numpy())},
+        )
+
+    params, state = {}, {}
+    for name, sa in (("sa1", module.sa1), ("sa2", module.sa2), ("sa3", module.sa3)):
+        convs, bns, bn_states = [], [], []
+        for conv, bnm in zip(sa.conv_blocks[0], sa.bn_blocks[0]):
+            convs.append(lin(conv))
+            p, s = bn(bnm)
+            bns.append(p)
+            bn_states.append(s)
+        params[name] = {"convs": convs, "bns": bns}
+        state[name] = {"bns": bn_states}
+    for name, fp in (("fp1", module.sfp1), ("fp2", module.sfp2), ("fp3", module.sfp3)):
+        convs, bns, bn_states = [], [], []
+        for conv, bnm in zip(fp.mlp_convs, fp.mlp_bns):
+            convs.append(lin(conv))
+            p, s = bn(bnm)
+            bns.append(p)
+            bn_states.append(s)
+        params[name] = {"convs": convs, "bns": bns}
+        state[name] = {"bns": bn_states}
+    params["fc1"] = lin(module.fc1)
+    p, s = bn(module.bn1)
+    params["bn1"], state["bn1"] = p, s
+    params["heads"] = [lin(h) for h in module.fc2]
+    return params, state
+
+
+@needs_ref
+def test_full_network_parity(rng, monkeypatch):
+    import torch
+
+    # neutralize the slow-path quirks (see module docstring)
+    monkeypatch.setattr(
+        torch, "randint",
+        lambda *a, **kw: torch.zeros(a[2], dtype=kw.get("dtype", torch.long)),
+    )
+    orig_dropout = torch.nn.functional.dropout
+    monkeypatch.setattr(
+        torch.nn.functional, "dropout", lambda x, *a, **kw: x
+    )
+    from PointNet2.pointnet2_ops.modules import geometry_utils as gu
+
+    orig_three_nn = gu.three_nn
+
+    def three_nn_sqrt(point_pos, query_pos, fast=True):
+        d, i = orig_three_nn(point_pos, query_pos, fast=False)
+        return torch.sqrt(torch.clamp(d, min=0.0)), i
+
+    monkeypatch.setattr(gu, "three_nn", three_nn_sqrt)
+    from PointNet2.pointnet2_ops.modules import pointset_feature_propagation as pfp
+
+    monkeypatch.setattr(pfp, "three_nn", three_nn_sqrt)
+
+    # small but real architecture (reference channel schedule, fewer points)
+    torch.manual_seed(0)
+    ref = PN2.PointNet2(dim_input=3, dim_pos=3, output_sizes=[3, 4, 7])
+    ref.eval()
+
+    cfg = PointNet2Config(output_sizes=(3, 4, 7))
+    params, state = _port_weights(ref, cfg)
+
+    # keep points away from the origin: the fast/our FPS skips ||p||^2<=1e-3
+    # which the torch slow path lacks
+    P = (rng.rand(2, 2048, 3) * 1.6 - 0.8).astype(np.float32)
+    P[np.linalg.norm(P, axis=2) < 0.1] += 0.5
+
+    with torch.no_grad():
+        outs = ref(torch.from_numpy(P), fast=False)
+    X_ref, T_ref, W_ref = (o.numpy() for o in outs[:3])
+
+    out, _ = apply_pointnet2(params, state, cfg, jnp.asarray(P), train=False)
+    X, T, W = (np.asarray(h) for h in out["heads"])
+
+    np.testing.assert_allclose(X, X_ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(T, T_ref, atol=2e-3, rtol=1e-3)
+    np.testing.assert_allclose(W, W_ref, atol=2e-3, rtol=1e-3)
+    # global code parity
+    np.testing.assert_allclose(
+        np.asarray(out["global_feat"]), outs[3][:, :, 0].numpy(),
+        atol=2e-3, rtol=1e-3,
+    )
