@@ -113,3 +113,17 @@ def test_bf16_compute_close_to_f32(rng):
     # bf16 matmuls with f32 accumulation: small relative deviation
     a, b = np.asarray(out32["heads"][0]), np.asarray(out16["heads"][0])
     assert np.abs(a - b).max() < 0.15 * max(1.0, np.abs(a).max())
+
+
+def test_input_features_beyond_xyz(rng):
+    """dim_input > dim_pos: extra per-point channels flow through SA1 grouping
+    and the FP3 skip connection (reference pn2_network.py:41-45,58)."""
+    cfg = PointNet2Config(output_sizes=(2,), dim_input=6, dim_pos=3, **TINY)
+    params, state = init_pointnet2(jax.random.PRNGKey(0), cfg)
+    P = jnp.array(rng.randn(2, 64, 6), jnp.float32)
+    out, _ = apply_pointnet2(params, state, cfg, P, train=False)
+    assert out["heads"][0].shape == (2, 64, 2)
+    # the extra channels must influence the output
+    P2 = P.at[..., 3:].add(1.0)
+    out2, _ = apply_pointnet2(params, state, cfg, P2, train=False)
+    assert float(jnp.max(jnp.abs(out["heads"][0] - out2["heads"][0]))) > 1e-6
