@@ -293,3 +293,32 @@ def test_consistent_plane_frame_parity(rng):
     x, y = solvers.compute_consistent_plane_frame(jnp.array(normal, jnp.float32))
     np.testing.assert_allclose(np.asarray(x), x_ref.numpy(), atol=1e-5)
     np.testing.assert_allclose(np.asarray(y), y_ref.numpy(), atol=1e-5)
+
+
+def test_fit_cloud_api(rng):
+    """Single-cloud fitting API: types recovered by residue argmin on a
+    synthetic 3-instance scene."""
+    from cpfn_tpu.fitting import factory
+    from cpfn_tpu.fitting.api import fit_cloud_to_json, fit_instances
+
+    factory.register_primitives(["plane", "sphere", "cylinder", "cone"])
+    pl = primitives.Plane(np.array([0, 0, 1.0]), 0.3, rng=rng)
+    sp = primitives.Sphere([0.5, 0.5, -0.2], 0.4)
+    cyl = primitives.Cylinder([-0.5, 0, 0], 0.3, np.array([1.0, 0, 0]),
+                              height=1.0, rng=rng)
+    pts, nrm, lab = [], [], []
+    for i, prim in enumerate([pl, sp, cyl]):
+        p, n = prim.sample_points(300, rng=rng)
+        pts.append(p); nrm.append(n); lab.append(np.full(300, i))
+    P = np.concatenate(pts).astype(np.float32)
+    X = np.concatenate(nrm).astype(np.float32)
+    L = np.concatenate(lab)
+    _, type_ids, residues = fit_instances(P, L, X)
+    names = ["plane", "sphere", "cylinder", "cone"]
+    assert [names[t] for t in type_ids] == ["plane", "sphere", "cylinder"]
+    assert residues.max() < 1e-3
+    records = fit_cloud_to_json(P, L, X)
+    assert [r["type"] for r in records] == ["plane", "sphere", "cylinder"]
+    # estimated normals (no GT) must still give usable fits for the plane
+    _, type_ids2, _ = fit_instances(P, L, None)
+    assert names[type_ids2[0]] == "plane"
