@@ -136,3 +136,31 @@ def test_batch_iterator(rng, tmp_path):
     assert len(batches) == 2
     assert batches[0]["P"].shape == (2, 256, 3)
     assert batches[0]["T_gt"].shape == (2, SCENE.n_max_instances)
+
+
+def test_train_step_determinism(rng):
+    """Two runs of the same jitted train step from identical state must agree
+    bitwise — XLA's deterministic scatters replace the reference's atomicAdd
+    nondeterminism (SURVEY.md §5 'race detection')."""
+    factory.register_primitives(list(SCENE.classes))
+    model_cfg = PointNet2Config(
+        output_sizes=(3, 4, SCENE.n_max_instances), **TINY_MODEL
+    )
+    train_cfg = SPFNTrainConfig(batch_size=2, classes=SCENE.classes)
+    params, state = init_pointnet2(jax.random.PRNGKey(0), model_cfg)
+    opt = init_optimizer(train_cfg)
+    opt_state = opt.init(params)
+    step_fn = jax.jit(make_spfn_train_step(model_cfg, train_cfg, optimizer=opt))
+    batch = {k: jnp.array(v) for k, v in make_synthetic_batch(rng, 2, SCENE).items()}
+
+    outs = []
+    for _ in range(2):
+        p, s, o, m = step_fn(
+            params, state, opt_state, batch, jnp.int32(0), jax.random.PRNGKey(7)
+        )
+        outs.append((p, m))
+    a = jax.tree_util.tree_leaves(outs[0][0])
+    b = jax.tree_util.tree_leaves(outs[1][0])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert float(outs[0][1]["total_loss"]) == float(outs[1][1]["total_loss"])
