@@ -41,6 +41,10 @@ def build_argparser():
     p.add_argument("--weights", default="", help="checkpoint dir")
     p.add_argument("--csv_dir", default="Dataset")
     p.add_argument("--first_n", type=int, default=-1)
+    p.add_argument("--skip_features", action="store_true",
+                   help="skip the per-point feature artifacts (the released "
+                        "LocalSPFN config is feature-free; saves large "
+                        "device->host transfers)")
     return p
 
 
@@ -92,15 +96,16 @@ def main(argv=None):
         os.makedirs(out_dir, exist_ok=True)
         P = jnp.asarray(rec["P"])[None]
         X, T, W, global_feat, point_feat = forward(params, state, P)
-        if args.evaluation_set == "test":
+        if args.evaluation_set == "test" and not args.skip_features:
             # [C, N] layout, as the reference artifacts
             np.save(
                 os.path.join(out_dir, "local_feat_full.npy"),
                 np.asarray(point_feat[0]).T,
             )
-        local_feat = np.asarray(point_feat[0])[
-            np.asarray(rec["patch_centers"], np.int64)
-        ].T
+        if not args.skip_features:
+            local_feat = np.asarray(point_feat[0])[
+                np.asarray(rec["patch_centers"], np.int64)
+            ].T
         W_hard = hard_W_encoding(W)
         m = metrics_fn(
             P, X, jnp.asarray(rec["normal_gt"])[None], W_hard,
@@ -116,10 +121,12 @@ def main(argv=None):
             np.save(os.path.join(out_dir, "object_seg.npy"), np.asarray(m["W"][0]))
             np.save(os.path.join(out_dir, "object_normals.npy"), np.asarray(X[0]))
             np.save(os.path.join(out_dir, "object_type.npy"), np.asarray(T[0]))
-        np.save(
-            os.path.join(out_dir, "global_feat.npy"), np.asarray(global_feat[0])
-        )
-        np.save(os.path.join(out_dir, "local_feat.npy"), local_feat)
+        if not args.skip_features:
+            np.save(
+                os.path.join(out_dir, "global_feat.npy"),
+                np.asarray(global_feat[0]),
+            )
+            np.save(os.path.join(out_dir, "local_feat.npy"), local_feat)
         mious.append(float(m["mIoU"][0]))
         table.add(
             stem, float(m["mIoU"][0]), float(m["type_accuracy"][0]),
