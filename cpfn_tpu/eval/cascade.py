@@ -143,6 +143,50 @@ class CascadeRunner:
 
         self._normalize_patches = jax.jit(normalize_patches)
 
+        if mesh is None:
+            # the whole device back half — patch normalization, LocalSPFN
+            # forward, similarity, on-device greedy merge, fused membership,
+            # column compaction, normal/type fusion — as ONE dispatch
+            # (9 separate calls otherwise; dispatch latency is real on
+            # tunneled runtimes)
+            from cpfn_tpu.merging.device_merge import heuristic_merge_device
+            from cpfn_tpu.merging.fusion import (
+                _compact_columns,
+                _fuse_normals_types,
+                _fusion_inputs,
+                get_point_final,
+            )
+
+            k_g, k_l = self.n_max_global, self.n_max_local
+
+            @jax.jit
+            def phase2_device(lp, ls, P_hr, idx, mask, W_hard, X_g, T_g):
+                patches = normalize_patches(P_hr, idx)
+                out, _ = apply_pointnet2(
+                    lp, ls, local_model.cfg, patches, train=False
+                )
+                X_p, T_p, W_p = spfn_postprocess(out)
+                W_p = W_p * mask[:, None, None]
+                similarity, point2primitive = _fusion_inputs(
+                    W_hard, W_p, idx, W_hard.shape[0]
+                )
+                labels = heuristic_merge_device(
+                    similarity, self.max_patches, k_g, k_l, 0.0
+                )
+                n_ids = similarity.shape[0] + k_l + k_g
+                fused = get_point_final(point2primitive, labels, n_ids)
+                W_f, _ = _compact_columns(
+                    fused, jnp.int32(n_ids), max(self.out_width, k_g)
+                )
+                X_f, T_f = _fuse_normals_types(
+                    X_p, T_p, idx, X_g, T_g, T_g.shape[-1], mask
+                )
+                return W_f, X_f, T_f
+
+            self._phase2_device = phase2_device
+        else:
+            self._phase2_device = None
+
         def normalize_cloud(P):
             P = P - jnp.mean(P, axis=0)
             return P / jnp.maximum(
@@ -227,14 +271,20 @@ class CascadeRunner:
             mask = np.zeros((self.max_patches,), np.float32)
             mask[:n_patches] = 1.0
             idx_j = jnp.asarray(padded_idx, jnp.int32)
-            patches = self._normalize_patches(P_hr_j, idx_j)
             lm = self.local_model
-            X_p, T_p, W_p = self._local_fwd(lm.params, lm.state, patches)
-            W_f, X_f, T_f = fuse_cascade(
-                W_p, X_p, T_p, idx_j, W_hard, X_g, T_g,
-                self.n_max_global, self.n_max_local,
-                patch_mask=mask, out_width=self.out_width,
-            )
+            if self._phase2_device is not None:
+                W_f, X_f, T_f = self._phase2_device(
+                    lm.params, lm.state, P_hr_j, idx_j,
+                    jnp.asarray(mask), W_hard, X_g, T_g,
+                )
+            else:
+                patches = self._normalize_patches(P_hr_j, idx_j)
+                X_p, T_p, W_p = self._local_fwd(lm.params, lm.state, patches)
+                W_f, X_f, T_f = fuse_cascade(
+                    W_p, X_p, T_p, idx_j, W_hard, X_g, T_g,
+                    self.n_max_global, self.n_max_local,
+                    patch_mask=mask, out_width=self.out_width,
+                )
         else:
             W_f, X_f, T_f = fuse_cascade(
                 np.zeros((0, self.num_points_patch, self.n_max_local), np.float32),
