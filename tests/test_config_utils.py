@@ -126,3 +126,19 @@ def test_identical_epochs_sampler():
         ]
 
     assert epoch() == epoch()
+
+
+def test_plot_tool(tmp_path):
+    import json
+
+    from cpfn_tpu.utils import plots
+
+    p = os.path.join(tmp_path, "m.jsonl")
+    with open(p, "w") as f:
+        for i in range(20):
+            f.write(json.dumps({"step": i, "time": i * 0.1,
+                                "total_loss": 1.0 / (i + 1),
+                                "miou_loss": 0.5}) + "\n")
+    out = os.path.join(tmp_path, "c.png")
+    plots.plot(p, out, window=5)
+    assert os.path.getsize(out) > 1000
