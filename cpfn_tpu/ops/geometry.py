@@ -84,6 +84,12 @@ group_points = gather_points
 
 def _tpu_backend() -> bool:
     try:
+        # An active `jax.default_device(...)` context overrides the platform
+        # the computation will actually run on (e.g. a CPU-mesh dryrun inside
+        # a process whose ambient backend is a TPU) — honor it first.
+        d = jax.config.jax_default_device
+        if d is not None:
+            return getattr(d, "platform", None) in ("tpu", "axon")
         return jax.default_backend() in ("tpu", "axon")
     except RuntimeError:
         return False
