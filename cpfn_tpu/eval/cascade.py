@@ -175,13 +175,13 @@ class CascadeRunner:
                 )
                 n_ids = similarity.shape[0] + k_l + k_g
                 fused = get_point_final(point2primitive, labels, n_ids)
-                W_f, _ = _compact_columns(
+                W_f, n_valid = _compact_columns(
                     fused, jnp.int32(n_ids), max(self.out_width, k_g)
                 )
                 X_f, T_f = _fuse_normals_types(
                     X_p, T_p, idx, X_g, T_g, T_g.shape[-1], mask
                 )
-                return W_f, X_f, T_f
+                return W_f, X_f, T_f, n_valid
 
             self._phase2_device = phase2_device
         else:
@@ -273,19 +273,21 @@ class CascadeRunner:
             idx_j = jnp.asarray(padded_idx, jnp.int32)
             lm = self.local_model
             if self._phase2_device is not None:
-                W_f, X_f, T_f = self._phase2_device(
+                W_f, X_f, T_f, n_valid = self._phase2_device(
                     lm.params, lm.state, P_hr_j, idx_j,
                     jnp.asarray(mask), W_hard, X_g, T_g,
                 )
             else:
                 patches = self._normalize_patches(P_hr_j, idx_j)
                 X_p, T_p, W_p = self._local_fwd(lm.params, lm.state, patches)
-                W_f, X_f, T_f = fuse_cascade(
+                W_f, X_f, T_f, n_valid = fuse_cascade(
                     W_p, X_p, T_p, idx_j, W_hard, X_g, T_g,
                     self.n_max_global, self.n_max_local,
                     patch_mask=mask, out_width=self.out_width,
+                    return_counts=True,
                 )
         else:
+            n_valid = None
             W_f, X_f, T_f = fuse_cascade(
                 np.zeros((0, self.num_points_patch, self.n_max_local), np.float32),
                 np.zeros((0, self.num_points_patch, 3), np.float32),
@@ -300,6 +302,9 @@ class CascadeRunner:
             "global_W": W_hard, "global_X": X_g, "global_T": T_g,
             "global_feat": global_feat, "point_feat": point_feat,
             "patch_indices": patch_idx, "n_patches": n_patches,
+            # surviving clusters before fixed-width compaction (device
+            # scalar; > out_width means clusters were dropped — callers log)
+            "n_clusters": n_valid,
         }
 
     def run_clouds(self, clouds, rng: np.random.RandomState | None = None):

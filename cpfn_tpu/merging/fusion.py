@@ -180,6 +180,7 @@ def fuse_cascade(
     patch_mask: np.ndarray | None = None,
     out_width: int | None = None,
     merge_impl: str = "device",
+    return_counts: bool = False,
 ):
     """Full cascade fusion for one cloud.
 
@@ -199,6 +200,10 @@ def fuse_cascade(
     are dropped — pick a width with slack); with out_width=None the dynamic
     reference behavior is kept (requires a host transfer of the fused matrix,
     fine for small clouds/tests).
+
+    With `return_counts=True` a fourth value is returned: the number of
+    surviving clusters BEFORE compaction (a device scalar; compare against
+    K_out to count silently dropped clusters — eval drivers log this).
     """
     N, K_g = spfn_labels.shape
     P = patch_W.shape[0]
@@ -209,7 +214,8 @@ def fuse_cascade(
         W_fusion = jax.nn.one_hot(
             jnp.argmax(spfn_labels, axis=1), width, dtype=jnp.float32
         )
-        return W_fusion, jnp.asarray(spfn_normals), jnp.asarray(spfn_type)
+        out = W_fusion, jnp.asarray(spfn_normals), jnp.asarray(spfn_type)
+        return (*out, jnp.int32(K_g)) if return_counts else out
 
     patch_W = jnp.asarray(patch_W, jnp.float32)
     if patch_mask is not None:
@@ -232,7 +238,7 @@ def fuse_cascade(
         fused = get_point_final(point2primitive, labels, n_ids)
         width = max(out_width, K_g)
         # replacement/empty clusters carry zero mass; the >1 filter drops them
-        fused, _ = _compact_columns(fused, jnp.int32(n_ids), width)
+        fused, n_valid = _compact_columns(fused, jnp.int32(n_ids), width)
         X_global, T_global = _fuse_normals_types(
             jnp.asarray(patch_X, jnp.float32),
             jnp.asarray(patch_T, jnp.float32),
@@ -242,6 +248,8 @@ def fuse_cascade(
             spfn_type.shape[1],
             None if patch_mask is None else jnp.asarray(patch_mask, jnp.float32),
         )
+        if return_counts:
+            return fused, X_global, T_global, n_valid
         return fused, X_global, T_global
     labels = run_heuristic_solver(
         np.asarray(similarity),
@@ -255,12 +263,14 @@ def fuse_cascade(
         point2primitive, jnp.asarray(labels, jnp.int32), C
     )
     n_clusters = int(labels.max()) + 1
+    n_valid = jnp.int32(n_clusters)
     if out_width is not None:
         width = max(out_width, K_g)
-        fused, _ = _compact_columns(fused, jnp.int32(n_clusters), width)
+        fused, n_valid = _compact_columns(fused, jnp.int32(n_clusters), width)
     else:
         fused_np = np.asarray(fused)[:, :n_clusters]
         fused_np = fused_np[:, fused_np.sum(axis=0) > 1]
+        n_valid = jnp.int32(fused_np.shape[1])
         if fused_np.shape[1] < K_g:
             fused_np = np.concatenate(
                 [fused_np, np.zeros((N, K_g - fused_np.shape[1]), fused_np.dtype)],
@@ -276,4 +286,6 @@ def fuse_cascade(
         spfn_type.shape[1],
         None if patch_mask is None else jnp.asarray(patch_mask, jnp.float32),
     )
+    if return_counts:
+        return fused, X_global, T_global, n_valid
     return fused, X_global, T_global

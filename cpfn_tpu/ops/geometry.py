@@ -166,19 +166,43 @@ def ball_query(
       the pipeline every query point is itself a member of `points`, so the
       case never occurs).
 
-    Two implementations: the XLA path expresses first-K-in-scan-order as the
-    K smallest values of `where(hit, index, N)` (one `top_k` per query); the
-    Pallas path (default on TPU) streams the points in chunks with early exit
-    once every ball is full (`pallas_kernels.ball_query_pallas`).
+    Three implementations: the `xla` path expresses first-K-in-scan-order as
+    the K smallest values of `where(hit, index, N)` (one `top_k` per query);
+    the `scan` path ranks hits with a cumulative sum and binary-searches the
+    (sorted) rank vector for each output slot — K log N gathers instead of a
+    top_k sort, the fastest path on TPU for batched query stacks; the
+    `pallas` path streams the points in chunks with early exit once every
+    ball is full (`pallas_kernels.ball_query_pallas`).
     """
     if impl == "auto":
-        impl = "pallas" if (_tpu_backend() and num_samples <= 128) else "xla"
+        impl = "scan" if _tpu_backend() else "xla"
     if impl == "pallas":
         from cpfn_tpu.ops import pallas_kernels
 
         return pallas_kernels.ball_query_pallas(
             points, queries, radius, num_samples
         )
+    if impl == "scan":
+        B, N, _ = points.shape
+        d2 = pairwise_sqr_dist(queries, points)  # [B, S, N]
+        hit = d2 < jnp.float32(radius) ** 2
+        rank = jnp.cumsum(hit.astype(jnp.int32), axis=-1)  # [B, S, N]
+        count = rank[..., -1:]  # [B, S, 1]
+        # slot k holds the first n with rank == k+1 (rank is non-decreasing:
+        # leftmost rank >= k+1 IS the (k+1)-th hit) — vectorized binary search
+        target = jnp.arange(1, num_samples + 1, dtype=jnp.int32)
+        lo = jnp.zeros(rank.shape[:2] + (num_samples,), jnp.int32)
+        hi = jnp.full_like(lo, N)
+        for _ in range(max(1, (N - 1).bit_length())):
+            mid = (lo + hi) // 2
+            r = jnp.take_along_axis(rank, jnp.minimum(mid, N - 1), axis=-1)
+            ge = r >= target
+            lo = jnp.where(ge, lo, mid + 1)
+            hi = jnp.where(ge, mid, hi)
+        idx = hi  # == N where the ball had < k hits
+        first = idx[..., :1]
+        idx = jnp.where(target[None, None] <= count, idx, first)
+        return jnp.where(idx == N, 0, idx)  # zero-hit fallback
     B, N, _ = points.shape
     d2 = pairwise_sqr_dist(queries, points)  # [B, S, N]
     hit = d2 < jnp.float32(radius) ** 2

@@ -13,6 +13,7 @@ the same soup groups. The FPS kernels run in the C++ host library
 from __future__ import annotations
 
 import argparse
+import functools
 import os
 
 import h5py
@@ -21,11 +22,92 @@ import numpy as np
 from cpfn_tpu import native
 
 
+@functools.lru_cache(maxsize=None)
+def _device_fps_fn(n_points: int, nb_query_points: int, max_labels: int):
+    """One jitted graph: per-label seeded FPS (padded to `max_labels`
+    iterations, masked by the traced label count) followed by global FPS for
+    `nb_query_points` more samples. Mirrors the host preprocessing kernels
+    (`native.fps_host` / `fps_per_label_host`: euclidean distance, 1e6
+    min-dist init, seeds zeroed, ties -> lowest index) in f32 on device —
+    near-tie selections may differ from the float64 host path, which only
+    perturbs which points the subsample keeps, not its validity."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    def fn(points, labels, start, n_unique):
+        def dist_to(idx):
+            return jnp.linalg.norm(points - points[idx], axis=1)
+
+        def label_body(i, st):
+            mind, idx, seeds = st
+
+            def take(st):
+                mind, idx, seeds = st
+                seeds = seeds.at[i].set(idx)
+                lab = labels[idx]
+                mind = jnp.minimum(mind, dist_to(idx))
+                mind = jnp.where(labels == lab, 0.0, mind)
+                return mind, jnp.argmax(mind).astype(jnp.int32), seeds
+
+            return lax.cond(i < n_unique, take, lambda st: st, st)
+
+        mind0 = jnp.full((n_points,), 1e6, jnp.float32)
+        seeds0 = jnp.zeros((max_labels,), jnp.int32)
+        _, _, seeds = lax.fori_loop(
+            0, max_labels, label_body, (mind0, start, seeds0)
+        )
+        # global FPS re-initializes the min-dist buffer with only the seeds'
+        # own entries zeroed, exactly as fps_host does with seed_idx (it does
+        # NOT carry distance-to-seed state; first pick = lowest non-seed index)
+        seed_vals = jnp.where(
+            jnp.arange(max_labels) < n_unique, 0.0, 1e6
+        ).astype(jnp.float32)
+        mind = jnp.full((n_points,), 1e6, jnp.float32).at[seeds].min(seed_vals)
+
+        def fps_body(i, st):
+            mind, idx, out = st
+            out = out.at[i].set(idx)
+            mind = jnp.minimum(mind, dist_to(idx))
+            return mind, jnp.argmax(mind).astype(jnp.int32), out
+
+        out0 = jnp.zeros((nb_query_points,), jnp.int32)
+        _, _, rest = lax.fori_loop(
+            0, nb_query_points, fps_body,
+            (mind, jnp.argmax(mind).astype(jnp.int32), out0),
+        )
+        return seeds, rest
+
+    return jax.jit(fn)
+
+
+def lowres_indices_device(
+    gt_points: np.ndarray,
+    gt_labels: np.ndarray,
+    start: int,
+    nb_query_points: int = 8192,
+    max_labels: int = 28,
+) -> np.ndarray:
+    """Device (TPU) version of the seed+global FPS index selection."""
+    import jax.numpy as jnp
+
+    n_unique = len(np.unique(gt_labels))
+    fn = _device_fps_fn(len(gt_points), nb_query_points, max_labels)
+    seeds, rest = fn(
+        jnp.asarray(gt_points, jnp.float32),
+        jnp.asarray(gt_labels, jnp.int32),
+        jnp.int32(start),
+        jnp.int32(n_unique),
+    )
+    return np.concatenate([np.asarray(seeds)[:n_unique], np.asarray(rest)])
+
+
 def subsample_lowres_file(
     highres_path: str,
     lowres_path: str,
     nb_query_points: int = 8192,
     rng: np.random.RandomState | None = None,
+    device: bool = False,
 ) -> bool:
     """Returns False when the input file is unreadable (skipped, as the
     reference's swallow-and-skip, preprocessing_sampling_lowres.py:50-64)."""
@@ -48,9 +130,17 @@ def subsample_lowres_file(
     except Exception:
         return False
     start = int(rng.randint(0, len(gt_points)))
-    seed_idx = native.fps_per_label_host(gt_points, gt_labels, start)
-    rest_idx = native.fps_host(gt_points, nb_query_points, seed_idx=seed_idx)
-    idx = np.concatenate([seed_idx, rest_idx])
+    if device:
+        idx = lowres_indices_device(
+            gt_points, gt_labels, start, nb_query_points,
+            max_labels=max(28, int(gt_labels.max()) + 1),
+        )
+    else:
+        seed_idx = native.fps_per_label_host(gt_points, gt_labels, start)
+        rest_idx = native.fps_host(
+            gt_points, nb_query_points, seed_idx=seed_idx
+        )
+        idx = np.concatenate([seed_idx, rest_idx])
     assert len(np.unique(gt_labels)) == len(np.unique(gt_labels[idx]))
     with h5py.File(lowres_path, "w") as f:
         f.create_dataset("gt_points", data=gt_points[idx])
@@ -74,6 +164,11 @@ def main(argv=None):
     p.add_argument("--nb_query_points", type=int, default=8192)
     p.add_argument("--n_jobs", type=int, default=0, help="0 = 70%% of CPUs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--device", action="store_true",
+        help="run the FPS selection on the accelerator (one jitted graph; "
+        "an order of magnitude faster per cloud than the host kernels)",
+    )
     args = p.parse_args(argv)
     os.makedirs(args.path_lowres, exist_ok=True)
     with open(args.path_split_file) as f:
@@ -89,9 +184,10 @@ def main(argv=None):
             os.path.join(args.path_lowres, file_),
             args.nb_query_points,
             rng=np.random.RandomState(args.seed + i),
+            device=args.device,
         )
 
-    if n_jobs > 1:
+    if n_jobs > 1 and not args.device:
         from joblib import Parallel, delayed
 
         Parallel(n_jobs=n_jobs)(delayed(work)(t) for t in enumerate(files))

@@ -185,3 +185,29 @@ def test_fuse_cascade_device_merge_matches_host(rng):
     )
     for a, b in zip(out_h, out_d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_fuse_cascade_reports_cluster_count(rng):
+    """return_counts surfaces the surviving-cluster count so eval drivers can
+    detect silent fixed-width truncation; with the default K_g+K_l slack on a
+    realistic overlap pattern nothing is dropped."""
+    N, K_g, K_l, Q, n, P = 120, 4, 3, 4, 16, 3
+    spfn_labels = np.eye(K_g, dtype=np.float32)[rng.randint(0, K_g, N)]
+    normals = rng.randn(N, 3).astype(np.float32)
+    types = rng.rand(N, Q).astype(np.float32)
+    idx = np.stack([rng.choice(N, n, replace=False) for _ in range(P)])
+    pw = rng.rand(P, n, K_l).astype(np.float32)
+    pw /= pw.sum(axis=2, keepdims=True)
+    W, X, T, n_valid = fuse_cascade(
+        pw, rng.randn(P, n, 3).astype(np.float32),
+        rng.rand(P, n, Q).astype(np.float32), idx,
+        spfn_labels, normals, types, K_g, K_l,
+        out_width=K_g + K_l, merge_impl="device", return_counts=True,
+    )
+    n_valid = int(n_valid)
+    assert 0 < n_valid
+    # nothing silently dropped at the default slack width
+    assert n_valid <= K_g + K_l
+    # the same count is consistent with the compacted output's nonzero columns
+    ncols = int(np.sum(np.asarray(W).sum(axis=0) > 0))
+    assert ncols == n_valid
