@@ -181,7 +181,6 @@ def main(argv=None):
             f"{sum(v.nbytes for v in stacked.values()) / 1e6:.1f} MB in HBM"
         )
 
-    eval_fn = jax.jit(make_spfn_eval_step(model_cfg, train_cfg))
     logger = MetricsLogger(conf.log_dir, name)
     if conf.profile_dir:
         # capture a jax.profiler trace of a few steps after warmup
@@ -235,20 +234,46 @@ def main(argv=None):
         if args.max_steps and step_idx >= args.max_steps:
             break
         if epoch % conf.val_interval == 0 and epoch > 0:
-            val_loss, n = 0.0, 0
+            # Single-execution validation: the axon TPU runtime deterministically
+            # kills the session on the SECOND execution of a (second-compiled)
+            # executable containing the losses graph (minimal repro: one train
+            # step, then any fresh losses-graph jit run twice -> INVALID_ARGUMENT
+            # on materialization; same-executable repeats and first executions
+            # always succeed). Workaround: build a FRESH executable per
+            # validation pass and execute it exactly once, lax.map-ing over the
+            # stacked validation batches inside the graph. Verified stable over
+            # repeated train/validate alternation.
+            bs = min(conf.batch_size, len(val_ds))
+            stacked_val = None
             for batch in batch_iterator(
-                val_ds, min(conf.batch_size, len(val_ds)),
-                rng=shuffle_rng, keys=_BATCH_KEYS,
+                val_ds, bs, rng=np.random.RandomState(7), keys=_BATCH_KEYS,
             ):
-                bs = len(batch["P"])
-                _, m = eval_fn(
-                    params, state,
-                    put({k: jnp.asarray(v) for k, v in batch.items()}),
+                if len(batch["P"]) != bs:
+                    continue  # lax.map needs equal batch shapes
+                b = {k: jnp.asarray(v)[None] for k, v in batch.items()}
+                stacked_val = (
+                    b if stacked_val is None else
+                    {k: jnp.concatenate([stacked_val[k], b[k]]) for k in b}
                 )
-                val_loss += float(m["total_loss"]) * bs
-                n += bs
-            val_loss = val_loss / n if n else float("inf")
-            print(f"[epoch {epoch}] val_loss {val_loss:.4f}")
+            step_closure = make_spfn_eval_step(model_cfg, train_cfg)
+
+            @jax.jit
+            def val_once(params, state, data):
+                def one(b):
+                    _, m = step_closure(params, state, b)
+                    return m["total_loss"]
+                return jnp.mean(jax.lax.map(one, data))
+
+            if n_dev > 1:
+                # mesh-replicated trees -> plain single-device arrays (a
+                # replicated buffer fed to a fresh single-device jit trips
+                # buffer-count mismatches on this runtime; see ROUND1_NOTES)
+                p_v, s_v = jax.device_get((params, state))
+            else:
+                p_v, s_v = params, state
+            val_loss = float(val_once(p_v, s_v, stacked_val))
+            print(f"[epoch {epoch}] val_loss {val_loss:.4f}", flush=True)
+            logger.log(step_idx, {"val_loss": val_loss})
             if val_loss < best_val:
                 best_val = val_loss
                 save_checkpoint(ckpt_dir, step_idx, params, state, opt_state)

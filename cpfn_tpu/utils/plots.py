@@ -1,10 +1,13 @@
-"""Offline training-curve plots from the JSONL metric logs.
+"""Training-curve plots from the JSONL metric logs.
 
 Replaces the reference's live visdom dashboards (`training_visualisation.py`)
-with artifact plots: one PNG per run with every logged loss series,
-sliding-window smoothed like the reference's plotting_interval.
+with artifact plots — one PNG per run with every logged loss series,
+sliding-window smoothed like the reference's plotting_interval — plus a
+`--watch` mode that re-renders the PNG and an HTML auto-refresh page as the
+log grows (the live-dashboard equivalent, no server dependency):
 
   python -m cpfn_tpu.utils.plots logs/globalspfn.jsonl -o curves.png
+  python -m cpfn_tpu.utils.plots logs/globalspfn.jsonl -o curves.png --watch
 """
 
 from __future__ import annotations
@@ -61,12 +64,54 @@ def plot(jsonl_path: str, out_path: str, window: int = 50) -> None:
     fig.savefig(out_path, dpi=120)
 
 
+_WATCH_HTML = """<!doctype html><title>cpfn_tpu training</title>
+<meta http-equiv="refresh" content="{interval}">
+<body style="margin:0;background:#111"><img src="{png}" style="width:100%">
+</body>"""
+
+
+def watch(jsonl_path: str, out_path: str, window: int, interval: float) -> None:
+    """Re-render the plot whenever the log grows; also writes an HTML page
+    next to the PNG that auto-refreshes (open it in any browser)."""
+    import os
+    import time
+
+    html_path = out_path.rsplit(".", 1)[0] + ".html"
+    with open(html_path, "w") as f:
+        f.write(_WATCH_HTML.format(
+            interval=max(1, int(interval)), png=os.path.basename(out_path)
+        ))
+    print(f"watching {jsonl_path} -> {out_path} (page: {html_path})",
+          flush=True)
+    last_size = -1
+    while True:
+        try:
+            size = os.path.getsize(jsonl_path)
+        except OSError:
+            size = -1
+        if size != last_size and size > 0:
+            try:
+                plot(jsonl_path, out_path, window)
+                last_size = size
+                print(f"re-rendered at {size} bytes", flush=True)
+            except (json.JSONDecodeError, ValueError):
+                pass  # partial trailing line; retry next tick
+        time.sleep(interval)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("jsonl")
     p.add_argument("-o", "--out", default="curves.png")
     p.add_argument("--window", type=int, default=50)
+    p.add_argument("--watch", action="store_true",
+                   help="keep re-rendering as the log grows")
+    p.add_argument("--interval", type=float, default=10.0,
+                   help="--watch poll/refresh seconds")
     args = p.parse_args(argv)
+    if args.watch:
+        watch(args.jsonl, args.out, args.window, args.interval)
+        return
     plot(args.jsonl, args.out, args.window)
     print(f"wrote {args.out}")
 
