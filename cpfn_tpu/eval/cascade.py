@@ -195,6 +195,74 @@ class CascadeRunner:
 
         self._normalize_cloud = jax.jit(normalize_cloud)
 
+        if mesh is None:
+            # the ENTIRE cascade as one dispatch: global forward, patch
+            # selection, greedy patch extraction (on-device while_loop),
+            # LocalSPFN forward, and patch-major fast fusion. No host round
+            # trip per cloud — essential on tunneled runtimes where each
+            # synchronous dispatch costs a ~30 ms round trip, and the design
+            # target for production serving (the host only uploads the cloud
+            # and downloads the fused labels).
+            from cpfn_tpu.eval.sampling import sample_patches_device
+            from cpfn_tpu.merging.fusion import fuse_cascade_fast
+
+            k_g2, k_l2 = self.n_max_global, self.n_max_local
+
+            def cascade_device(lp, ls, gp, gs, P_hr, P_lr, pool_mask, key):
+                out, _ = apply_pointnet2(
+                    gp, gs, global_model.cfg, P_hr[None], train=False
+                )
+                X_g, T_g, W_g = spfn_postprocess(out)
+                W_hard = hard_W_encoding(W_g)[0]
+                X_g, T_g = X_g[0], T_g[0]
+                idx, valid, count = sample_patches_device(
+                    P_lr, P_hr, pool_mask, key,
+                    num_points_patch=self.num_points_patch,
+                    max_number_patches=self.max_patches,
+                )
+                mask = valid.astype(jnp.float32)
+                patches = normalize_patches(P_hr, idx)
+                lout, _ = apply_pointnet2(
+                    lp, ls, local_model.cfg, patches, train=False
+                )
+                X_p, T_p, W_p = spfn_postprocess(lout)
+                W_f, X_f, T_f, n_valid = fuse_cascade_fast(
+                    W_p, X_p, T_p, idx, W_hard, X_g, T_g,
+                    k_g2, k_l2, out_width=self.out_width, patch_mask=mask,
+                )
+                # empty-pool fallback: the reference's global-only branch
+                width = max(self.out_width, k_g2)
+                W_glob = jnp.pad(W_hard, ((0, 0), (0, width - k_g2)))
+                W_f = jnp.where(count > 0, W_f, W_glob)
+                hard = jnp.argmax(W_f, axis=1).astype(jnp.int32)
+                return {
+                    "W": W_f, "X": X_f, "T": T_f, "hard": hard,
+                    "global_W": W_hard, "global_X": X_g, "global_T": T_g,
+                    "global_feat": out["global_feat"][0],
+                    "point_feat": out["point_feat"][0],
+                    "patch_indices": idx, "patch_valid": valid,
+                    "n_patches": count, "n_clusters": n_valid,
+                }
+
+            def cascade_device_ps(lp, ls, gp, gs, pp_, ps_, P_hr, P_lr, key):
+                """Patch pool from the patch-selection network (the full
+                production path; `cascade_device` takes an explicit pool)."""
+                pout, _ = apply_pointnet2(
+                    pp_, ps_, patchselec_model.cfg,
+                    normalize_cloud(P_lr)[None], train=False,
+                )
+                pool_mask = jnp.argmax(pout["heads"][0][0], axis=-1) == 1
+                return cascade_device(lp, ls, gp, gs, P_hr, P_lr, pool_mask, key)
+
+            self._cascade_device = jax.jit(cascade_device)
+            self._cascade_device_ps = (
+                jax.jit(cascade_device_ps)
+                if patchselec_model is not None else None
+            )
+        else:
+            self._cascade_device = None
+            self._cascade_device_ps = None
+
     def select_pool(self, P_lr: jax.Array) -> np.ndarray:
         """PatchSelection heatmap -> pool indices into the low-res cloud."""
         m = self.patchselec_model
@@ -306,6 +374,51 @@ class CascadeRunner:
             # scalar; > out_width means clusters were dropped — callers log)
             "n_clusters": n_valid,
         }
+
+    def run_cloud_device(
+        self,
+        P_hr,
+        P_lr,
+        pool_mask=None,
+        key=None,
+    ) -> dict:
+        """Single-dispatch all-device cascade on one cloud.
+
+        pool_mask: [n_lr] bool patch pool (GT-oracle mode); None uses the
+        patch-selection network. Returns device-resident arrays; 'hard' is
+        the [N] fused hard segmentation (the cheap thing to materialize).
+        """
+        assert self._cascade_device is not None, "mesh mode: use run_cloud"
+        key = key if key is not None else jax.random.PRNGKey(0)
+        lm, gm = self.local_model, self.global_model
+        P_hr = jnp.asarray(P_hr, jnp.float32)
+        P_lr = jnp.asarray(P_lr, jnp.float32)
+        if pool_mask is None:
+            m = self.patchselec_model
+            return self._cascade_device_ps(
+                lm.params, lm.state, gm.params, gm.state,
+                m.params, m.state, P_hr, P_lr, key,
+            )
+        return self._cascade_device(
+            lm.params, lm.state, gm.params, gm.state,
+            P_hr, P_lr, jnp.asarray(pool_mask, bool), key,
+        )
+
+    def run_clouds_device(self, clouds, key=None, lag: int = 3):
+        """Pipelined all-device cascade over (P_hr, P_lr, pool_mask_or_None)
+        tuples: keeps `lag` clouds in flight (pure async dispatch — there is
+        no host work to overlap, only upload/execute/download)."""
+        import collections
+
+        key = key if key is not None else jax.random.PRNGKey(0)
+        pending = collections.deque()
+        for cloud in clouds:
+            key, sub = jax.random.split(key)
+            pending.append(self.run_cloud_device(*cloud, key=sub))
+            if len(pending) > lag:
+                yield pending.popleft()
+        while pending:
+            yield pending.popleft()
 
     def run_clouds(self, clouds, rng: np.random.RandomState | None = None):
         """Software-pipelined cascade over an iterable of

@@ -131,6 +131,166 @@ def _fusion_inputs(
     return similarity, point2primitive
 
 
+# ---------------------------------------------------------------------------
+# Fast fusion path (patch-major membership).
+#
+# TPU scatter cost is dominated by partial-lane update rows: scattering
+# [P, n, K_l] updates into the point-major [N, P, K_l] layout writes 21-wide
+# slices at varying lane offsets (~40 ms at the north-star shape), while the
+# patch-major [P, N, K_l] layout scatters full minor rows (~7 ms). Every
+# consumer of the membership matrix is a contraction over points, so the
+# similarity blocks and the fused projection become plain MXU matmuls over
+# the patch-major tensor, and the point-major matrix is never materialized.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("n_global_points",))
+def _patch_membership(patch_W, patch_indices, n_global_points):
+    """[P, N, K_l] patch-major membership (zeros off-patch)."""
+    P = patch_W.shape[0]
+    Mp = jnp.zeros(
+        (P, n_global_points, patch_W.shape[2]), patch_W.dtype
+    )
+    return Mp.at[jnp.arange(P)[:, None], patch_indices].set(
+        patch_W, unique_indices=True
+    )
+
+
+@jax.jit
+def _similarity_from_membership(Mp, G):
+    """Full [C, C] similarity (C = P*K_l + K_g) plus the covered mask,
+    numerically identical to M^T M over the point-major matrix."""
+    P, N, K_l = Mp.shape
+    K_g = G.shape[1]
+    pp = jnp.einsum(
+        "pni,qnj->piqj", Mp, Mp, preferred_element_type=jnp.float32
+    ).reshape(P * K_l, P * K_l)
+    pg = jnp.einsum(
+        "pni,ng->pig", Mp, G, preferred_element_type=jnp.float32
+    ).reshape(P * K_l, K_g)
+    gg = jnp.einsum("ng,nh->gh", G, G, preferred_element_type=jnp.float32)
+    C = P * K_l + K_g
+    S = jnp.zeros((C, C), jnp.float32)
+    S = S.at[: P * K_l, : P * K_l].set(pp)
+    S = S.at[: P * K_l, P * K_l :].set(pg)
+    S = S.at[P * K_l :, : P * K_l].set(pg.T)
+    S = S.at[P * K_l :, P * K_l :].set(gg)
+    covered = jnp.any(jnp.sum(Mp, axis=2) > 0, axis=0)
+    return S, covered
+
+
+@functools.partial(jax.jit, static_argnames=("out_width", "n_ids"))
+def _cluster_projection(labels, m_col, n_ids: int, out_width: int):
+    """[C, out_width] projection matrix O with get_point_final's
+    count-normalization folded in, plus the surviving-cluster count.
+
+    Columns are compacted exactly as `_compact_columns` orders them: clusters
+    valid iff fused column mass > 1, kept in stable cluster-id order, zeroed
+    beyond `out_width`. m_col[col] = total point-mass of membership column
+    `col` (with global columns pre-zeroed on covered points).
+    """
+    C = labels.shape[0]
+    one_hot = jax.nn.one_hot(labels, n_ids, dtype=jnp.float32)  # [C, n_ids]
+    counts = jnp.sum(one_hot, axis=0)
+    mass = (m_col @ one_hot) / (counts + 1e-10)  # fused column sums
+    valid = mass > 1
+    pos = jnp.cumsum(valid.astype(jnp.int32)) - 1  # stable compact position
+    n_valid = jnp.sum(valid.astype(jnp.int32))
+    target = jnp.where(valid & (pos < out_width), pos, out_width)
+    # cluster id -> compacted output column (out_width = drop slot)
+    cluster_to_out = jax.nn.one_hot(target, out_width + 1, dtype=jnp.float32)
+    cluster_to_out = cluster_to_out[:, :out_width] / (counts[:, None] + 1e-10)
+    O = one_hot @ cluster_to_out  # [C, out_width]
+    return O, n_valid
+
+
+@jax.jit
+def _fused_from_membership(Mp, G, covered, O):
+    """fused [N, out_width] = (point-major membership with covered-point
+    global columns zeroed) @ O, without materializing the point-major
+    matrix."""
+    P, N, K_l = Mp.shape
+    K_g = G.shape[1]
+    O_patch = O[: P * K_l].reshape(P, K_l, -1)
+    O_glob = O[P * K_l :]
+    fused = jnp.einsum(
+        "pni,piw->nw", Mp, O_patch, preferred_element_type=jnp.float32
+    )
+    G_masked = G * (~covered)[:, None].astype(G.dtype)
+    return fused + jnp.matmul(
+        G_masked, O_glob, preferred_element_type=jnp.float32
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n_types",))
+def _fuse_normals_types_flat(
+    patch_X, patch_T, patch_indices, spfn_normals, spfn_type, n_types,
+    patch_mask=None,
+):
+    """`_fuse_normals_types` with the three scatters packed into ONE flat
+    full-minor-row scatter-add (identical outputs)."""
+    N = spfn_normals.shape[0]
+    P, n, _ = patch_X.shape
+    if patch_mask is None:
+        patch_mask = jnp.ones((P,), patch_X.dtype)
+    m = patch_mask[:, None, None]
+    packed = jnp.concatenate(
+        [patch_X * m, patch_T * m, jnp.broadcast_to(m, (P, n, 1))], axis=2
+    ).reshape(P * n, 3 + n_types + 1)
+    acc = jnp.zeros((N, 3 + n_types + 1), packed.dtype).at[
+        patch_indices.reshape(-1)
+    ].add(packed)
+    X_global, num, den = acc[:, :3], acc[:, 3:-1], acc[:, -1]
+    empty = jnp.all(X_global == 0, axis=1)
+    X_global = jnp.where(empty[:, None], spfn_normals, X_global)
+    X_global = X_global / jnp.maximum(
+        jnp.linalg.norm(X_global, axis=1, keepdims=True), 1e-12
+    )
+    T_global = num / jnp.maximum(den, 1.0)[:, None]
+    T_global = jnp.where(empty[:, None], spfn_type, T_global)
+    return X_global, T_global
+
+
+def fuse_cascade_fast(
+    patch_W, patch_X, patch_T, patch_indices, spfn_labels, spfn_normals,
+    spfn_type, n_max_global_instances: int, n_max_local_instances: int,
+    out_width: int, patch_mask=None, threshold: float = 0.0,
+):
+    """On-device cascade fusion via the patch-major membership layout;
+    numerically equivalent to `fuse_cascade(..., merge_impl='device')` (same
+    contractions, different operand order) at a fraction of the scatter cost.
+    Returns (fused [N, out_width], X [N, 3], T [N, Q], n_valid scalar).
+    All inputs jax arrays; patch axis may be padded (mask zeroes padding).
+    """
+    from cpfn_tpu.merging.device_merge import heuristic_merge_device
+
+    N, K_g = spfn_labels.shape
+    P = patch_W.shape[0]
+    K_l = n_max_local_instances
+    if patch_mask is not None:
+        patch_W = patch_W * patch_mask[:, None, None]
+    Mp = _patch_membership(patch_W, patch_indices, N)
+    S, covered = _similarity_from_membership(Mp, spfn_labels)
+    labels = heuristic_merge_device(
+        S, P, n_max_global_instances, K_l, threshold
+    )
+    n_ids = S.shape[0] + K_l + K_g
+    m_col = jnp.concatenate([
+        jnp.sum(Mp, axis=1).reshape(-1),
+        jnp.sum(spfn_labels * (~covered)[:, None].astype(spfn_labels.dtype),
+                axis=0),
+    ])
+    O, n_valid = _cluster_projection(
+        labels, m_col, n_ids, max(out_width, K_g)
+    )
+    fused = _fused_from_membership(Mp, spfn_labels, covered, O)
+    X_f, T_f = _fuse_normals_types_flat(
+        patch_X, patch_T, patch_indices, spfn_normals, spfn_type,
+        spfn_type.shape[1], patch_mask,
+    )
+    return fused, X_f, T_f, n_valid
+
+
 @functools.partial(jax.jit, static_argnames=("n_types",))
 def _fuse_normals_types(
     patch_X, patch_T, patch_indices, spfn_normals, spfn_type, n_types,

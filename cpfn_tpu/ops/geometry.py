@@ -175,7 +175,12 @@ def ball_query(
     ball is full (`pallas_kernels.ball_query_pallas`).
     """
     if impl == "auto":
-        impl = "scan" if _tpu_backend() else "xla"
+        # Pallas streaming kernel wins on TPU for batched query stacks; the
+        # scan path ties it at single-batch 100k-point shapes but loses badly
+        # when B*S is large (binary-search gathers dominate), so it stays
+        # opt-in. (Measured: 32x512q/8192pts scan 300ms vs pallas 49ms;
+        # 1x512q/100k scan 21.6ms vs pallas 20.8ms.)
+        impl = "pallas" if (_tpu_backend() and num_samples <= 128) else "xla"
     if impl == "pallas":
         from cpfn_tpu.ops import pallas_kernels
 

@@ -150,3 +150,61 @@ def test_cascade_with_patch_parallel_mesh(rng):
     np.testing.assert_allclose(
         np.asarray(out_s["X"]), np.asarray(out_m["X"]), atol=1e-4
     )
+
+
+def test_cascade_all_device_single_dispatch(rng):
+    """run_cloud_device: the single-dispatch cascade produces the same fused
+    output as the host-orchestrated path given the same patches, and the
+    ps-pool mode runs end to end."""
+    scene_cfg = SyntheticSceneConfig(
+        n_points=N_HR, n_max_instances=K_G, min_instances=3, max_instances=5,
+        n_gt_points_per_instance=64,
+    )
+    factory.register_primitives(list(scene_cfg.classes))
+    scene = make_synthetic_scene(rng, scene_cfg)
+    P_hr = scene["noisy_points"]
+    lr_idx = rng.choice(N_HR, N_LR, replace=False)
+    P_lr = P_hr[lr_idx]
+    # GT-oracle pool: low-res points on the smallest instance
+    counts = np.bincount(scene["I_gt"])
+    small = np.argmin(counts[: counts.nonzero()[0].max() + 1])
+    pool_mask = scene["I_gt"][lr_idx] == small
+
+    runner = _runner()
+    out = runner.run_cloud_device(P_hr, P_lr, pool_mask=pool_mask)
+    n_patches = int(out["n_patches"])
+    assert n_patches > 0
+    assert np.all(np.isfinite(np.asarray(out["W"])))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["X"]), axis=1), 1.0, atol=1e-4
+    )
+    # same patches through the host-orchestrated phase2 -> same fused labels
+    from cpfn_tpu.merging import fuse_cascade
+
+    idx = np.asarray(out["patch_indices"])
+    mask = np.asarray(out["patch_valid"]).astype(np.float32)
+    lm = runner.local_model
+    patches = runner._normalize_patches(jnp.asarray(P_hr, jnp.float32),
+                                        jnp.asarray(idx, jnp.int32))
+    X_p, T_p, W_p = runner._local_fwd(lm.params, lm.state, patches)
+    W_ref, X_ref, T_ref = fuse_cascade(
+        W_p, X_p, T_p, idx, np.asarray(out["global_W"]),
+        np.asarray(out["global_X"]), np.asarray(out["global_T"]),
+        K_G, K_L, patch_mask=mask, out_width=runner.out_width,
+        merge_impl="device",
+    )
+    np.testing.assert_allclose(
+        np.asarray(out["W"]), np.asarray(W_ref), atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(out["X"]), np.asarray(X_ref), atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(out["hard"]), np.argmax(np.asarray(W_ref), axis=1))
+
+    # the patch-selection-pool production mode runs end to end
+    out_ps = runner.run_cloud_device(P_hr, P_lr)
+    assert np.all(np.isfinite(np.asarray(out_ps["W"])))
+
+    # pipelined driver yields one result per cloud
+    clouds = [(P_hr, P_lr, pool_mask)] * 3
+    results = list(runner.run_clouds_device(clouds, lag=2))
+    assert len(results) == 3

@@ -211,3 +211,37 @@ def test_fuse_cascade_reports_cluster_count(rng):
     # the same count is consistent with the compacted output's nonzero columns
     ncols = int(np.sum(np.asarray(W).sum(axis=0) > 0))
     assert ncols == n_valid
+
+
+def test_fuse_cascade_fast_matches_device_path(rng):
+    """The patch-major fast fusion is numerically equivalent to the
+    point-major device path (same contractions, different operand order)."""
+    import jax.numpy as jnp
+    from cpfn_tpu.merging.fusion import fuse_cascade_fast
+
+    N, K_g, K_l, Q, n, P = 150, 4, 3, 4, 16, 4
+    spfn_labels = np.eye(K_g, dtype=np.float32)[rng.randint(0, K_g, N)]
+    normals = rng.randn(N, 3).astype(np.float32)
+    types = rng.rand(N, Q).astype(np.float32)
+    idx = np.stack([rng.choice(N, n, replace=False) for _ in range(P)])
+    pw = rng.rand(P, n, K_l).astype(np.float32)
+    pw /= pw.sum(axis=2, keepdims=True)
+    px = rng.randn(P, n, 3).astype(np.float32)
+    pt = rng.rand(P, n, Q).astype(np.float32)
+    mask = np.array([1, 1, 1, 0], np.float32)  # one padding patch
+    width = K_g + K_l
+    W0, X0, T0, nv0 = fuse_cascade(
+        pw, px, pt, idx, spfn_labels, normals, types, K_g, K_l,
+        patch_mask=mask, out_width=width, merge_impl="device",
+        return_counts=True,
+    )
+    W1, X1, T1, nv1 = fuse_cascade_fast(
+        jnp.asarray(pw), jnp.asarray(px), jnp.asarray(pt),
+        jnp.asarray(idx, jnp.int32), jnp.asarray(spfn_labels),
+        jnp.asarray(normals), jnp.asarray(types), K_g, K_l,
+        out_width=width, patch_mask=jnp.asarray(mask),
+    )
+    assert int(nv0) == int(nv1)
+    np.testing.assert_allclose(np.asarray(W0), np.asarray(W1), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(X0), np.asarray(X1), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(T0), np.asarray(T1), atol=1e-5)
