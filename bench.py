@@ -1,10 +1,19 @@
 """Benchmark: cascaded CPFN inference throughput on 100k-point clouds.
 
-Runs the full north-star path per cloud (BASELINE.md): GlobalSPFN forward on
-the complete high-res cloud, PatchSelection on the 8192-point low-res
-subsample, greedy patch extraction, LocalSPFN on the padded 32x8192 patch
-stack, and cross-scale fusion. Synthetic clouds, untrained weights (the
-compute is weight-independent).
+Runs the full north-star path per cloud (BASELINE.md) as a SINGLE device
+dispatch per cloud (CascadeRunner.run_clouds_device): GlobalSPFN forward on
+the complete high-res cloud, patch-pool selection, on-device greedy patch
+extraction, LocalSPFN on the padded 32x8192 patch stack, and cross-scale
+fusion — pipelined with a 3-cloud lookahead.
+
+Two modes:
+  default          — untrained weights + GT-oracle patch pool (the compute is
+                     weight-independent; the oracle pool keeps the patch
+                     workload realistic independent of patch-selection
+                     accuracy). This is the driver/north-star mode.
+  CPFN_BENCH_TRAINED=1 — load trained checkpoints (CPFN_BENCH_CKPT_DIR, see
+                     below) and use the patch-selection network's predicted
+                     pool: the full production path at realistic hit rates.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the single-chip share of the v5e-8
@@ -23,7 +32,10 @@ N_LR = 8192
 N_PATCH = 8192
 MAX_PATCHES = 32
 K_G, K_L, Q = 28, 21, 4
-N_CLOUDS = int(os.environ.get("CPFN_BENCH_CLOUDS", "6"))
+N_CLOUDS = int(os.environ.get("CPFN_BENCH_CLOUDS", "12"))
+N_WARMUP = 2
+TRAINED = os.environ.get("CPFN_BENCH_TRAINED", "") not in ("", "0")
+CKPT_DIR = os.environ.get("CPFN_BENCH_CKPT_DIR", "data_synth/checkpoints")
 BASELINE_CLOUDS_PER_SEC_PER_CHIP = 50.0 / 8.0
 
 
@@ -43,7 +55,7 @@ def main():
     from cpfn_tpu.fitting import factory
     from cpfn_tpu.nn import PointNet2Config, init_pointnet2
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {jax.devices()}  mode: {'trained' if TRAINED else 'oracle'}")
     rng = np.random.RandomState(0)
     scene_cfg = SyntheticSceneConfig(
         n_points=N_HR, n_max_instances=K_G, min_instances=10,
@@ -54,61 +66,72 @@ def main():
 
     log("generating synthetic clouds...")
     clouds = []
-    for i in range(N_CLOUDS):
+    for i in range(N_CLOUDS + N_WARMUP):
         scene = make_synthetic_scene(rng, scene_cfg)
         P_hr = scene["noisy_points"][:N_HR]
         lr_idx = rng.choice(len(P_hr), N_LR, replace=False)
-        # GT-oracle patch pool (the reference's scale>=1 mode): low-res points
-        # on small primitives — keeps the LocalSPFN patch workload realistic
-        # independent of (untrained) patch-selection accuracy
-        labels_lr = scene["I_gt"][lr_idx]
-        counts = np.bincount(scene["I_gt"])
-        small = np.where(counts < 0.05 * len(P_hr))[0]
-        pool = np.where(np.isin(labels_lr, small))[0]
-        clouds.append((P_hr, P_hr[lr_idx], pool))
+        if TRAINED:
+            pool_mask = None  # patch-selection network picks the pool
+        else:
+            # GT-oracle patch pool (the reference's scale>=1 eval mode)
+            labels_lr = scene["I_gt"][lr_idx]
+            counts = np.bincount(scene["I_gt"])
+            small = np.where(counts < 0.05 * len(P_hr))[0]
+            pool_mask = np.isin(labels_lr, small)
+        clouds.append((P_hr, P_hr[lr_idx], pool_mask))
 
-    def bundle(key, sizes):
+    def bundle(key, sizes, name):
         cfg = PointNet2Config(output_sizes=sizes)
         params, state = init_pointnet2(key, cfg)
+        if TRAINED:
+            from cpfn_tpu.utils.checkpoint import restore_checkpoint
+
+            path = os.path.join(CKPT_DIR, name)
+            tpl = {"params": params, "state": state}
+            restored, at = restore_checkpoint(path, tpl)
+            params, state = restored["params"], restored["state"]
+            log(f"loaded {name} @ step {at}")
         return ModelBundle(cfg, params, state)
 
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
     runner = CascadeRunner(
-        bundle(keys[0], (3, Q, K_G)),
-        bundle(keys[1], (2,)),
-        bundle(keys[2], (3, Q, K_L)),
+        bundle(keys[0], (3, Q, K_G), "globalspfn"),
+        bundle(keys[1], (2,), "patchselec_0.05"),
+        bundle(keys[2], (3, Q, K_L), "localspfn_0.05"),
         n_max_global_instances=K_G,
         n_max_local_instances=K_L,
         num_points_patch=N_PATCH,
         max_patches=MAX_PATCHES,
     )
 
-    import jax.numpy as jnp
-
     log("warmup (compilation)...")
     t0 = time.time()
-    for out in runner.run_clouds(clouds[:1], rng=np.random.RandomState(0)):
-        np.asarray(jnp.argmax(out["W"], axis=1))
-    log(f"warmup done in {time.time() - t0:.1f}s; n_patches={out['n_patches']}")
+    for out in runner.run_clouds_device(clouds[:N_WARMUP], lag=1):
+        np.asarray(out["hard"])
+    log(f"warmup done in {time.time() - t0:.1f}s; "
+        f"n_patches={int(out['n_patches'])}")
 
-    log(f"timing {N_CLOUDS} clouds (pipelined)...")
+    log(f"timing {N_CLOUDS} clouds (single-dispatch, lookahead 3)...")
     t0 = time.time()
     n_patches_total = 0
-    for out in runner.run_clouds(clouds, rng=np.random.RandomState(1)):
-        # materialize the hard fused segmentation: forces the pipeline to
-        # drain (block_until_ready does not on all PJRT backends)
-        np.asarray(jnp.argmax(out["W"], axis=1))
-        n_patches_total += out["n_patches"]
+    for out in runner.run_clouds_device(clouds[N_WARMUP:], lag=3):
+        # materialize only the hard fused segmentation ([N] int32): forces
+        # the pipeline to drain (block_until_ready does not on all PJRT
+        # backends) without shipping the soft matrices over the wire
+        np.asarray(out["hard"])
+        n_patches_total += int(out["n_patches"])
     elapsed = time.time() - t0
     clouds_per_sec = N_CLOUDS / elapsed
     log(
         f"{N_CLOUDS} clouds in {elapsed:.2f}s -> {clouds_per_sec:.3f} clouds/s"
         f" (avg {n_patches_total / N_CLOUDS:.1f} patches/cloud)"
     )
+    suffix = ", trained+patchselec" if TRAINED else ""
     print(
         json.dumps(
             {
-                "metric": "cascaded CPFN inference, 100k-pt clouds, 1 chip",
+                "metric": "cascaded CPFN inference, 100k-pt clouds, 1 chip"
+                + suffix,
                 "value": round(clouds_per_sec, 4),
                 "unit": "clouds/sec",
                 "vs_baseline": round(
