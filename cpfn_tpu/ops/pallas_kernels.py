@@ -219,39 +219,43 @@ def _fps_batched_kernel(
 
     The grid=(B,) kernel runs B sequential programs of m serial steps each
     (B*m dependent VPU sweeps); here every iteration updates all batches at
-    once, so the serial chain is m steps regardless of B (measured ~5x faster
-    at B=32, N=8192). Refs: x/y/z [B, R, 128]; out_ref [num_samples, B] i32
-    VMEM (transposed outside); dist_ref [B, R, 128] f32 scratch.
+    once, so the serial chain is m steps regardless of B.
+
+    Everything stays 2-D — (B, n_pad) planes, (B, 1) per-batch scalars —
+    because Mosaic supports lane-axis keepdims reductions and minor-dim
+    broadcasts but NOT rank-changing reshapes like (B,) -> (B, 1, 1).
+    The selected index lands in out_ref via a masked column write (the
+    (B, num_samples) where-op is negligible next to the (B, n_pad) sweep).
+    Refs: x/y/z [B, n_pad]; out_ref [B, num_samples] i32 VMEM;
+    dist_ref [B, n_pad] f32 scratch.
     """
-    B, R, _ = x_ref.shape
+    B, N = x_ref.shape
     x = x_ref[...]
     y = y_ref[...]
     z = z_ref[...]
     valid = (x * x + y * y + z * z) > 1e-3
-    dist_ref[...] = jnp.full((B, R, _LANES), 1e10, jnp.float32)
-    flat_iota = (
-        lax.broadcasted_iota(jnp.int32, (B, R, _LANES), 1) * _LANES
-        + lax.broadcasted_iota(jnp.int32, (B, R, _LANES), 2)
-    )
-    out_ref[0, :] = jnp.zeros((B,), jnp.int32)
+    dist_ref[...] = jnp.full((B, N), 1e10, jnp.float32)
+    point_iota = lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    col_iota = lax.broadcasted_iota(jnp.int32, (B, num_samples), 1)
+    out_ref[...] = jnp.zeros((B, num_samples), jnp.int32)
 
     def body(j, last):
-        sel = flat_iota == last[:, None, None]
-        px = jnp.sum(jnp.where(sel, x, 0.0), axis=(1, 2), keepdims=True)
-        py = jnp.sum(jnp.where(sel, y, 0.0), axis=(1, 2), keepdims=True)
-        pz = jnp.sum(jnp.where(sel, z, 0.0), axis=(1, 2), keepdims=True)
+        sel = point_iota == last
+        px = jnp.sum(jnp.where(sel, x, 0.0), axis=1, keepdims=True)
+        py = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
+        pz = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
         d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
         new_dist = jnp.where(valid, jnp.minimum(dist_ref[...], d), dist_ref[...])
         dist_ref[...] = new_dist
         masked = jnp.where(valid, new_dist, -1.0)
-        m = jnp.max(masked, axis=(1, 2), keepdims=True)
+        m = jnp.max(masked, axis=1, keepdims=True)
         nxt = jnp.min(
-            jnp.where(masked == m, flat_iota, n_pad), axis=(1, 2)
+            jnp.where(masked == m, point_iota, n_pad), axis=1, keepdims=True
         ).astype(jnp.int32)
-        out_ref[j, :] = nxt
+        out_ref[...] = jnp.where(col_iota == j, nxt, out_ref[...])
         return nxt
 
-    lax.fori_loop(1, num_samples, body, jnp.zeros((B,), jnp.int32))
+    lax.fori_loop(1, num_samples, body, jnp.zeros((B, 1), jnp.int32))
 
 
 # beyond this many points the batched kernel's VMEM residency (4 f32 planes)
@@ -304,24 +308,21 @@ def _farthest_point_sample_pallas_batched(
 ) -> jax.Array:
     B, N, _ = points.shape
     n_pad = -(-N // _LANES) * _LANES
-    R = n_pad // _LANES
     coords = jnp.moveaxis(points, -1, 1)
     if n_pad != N:
         coords = jnp.pad(coords, ((0, 0), (0, 0), (0, n_pad - N)))
-    planes = coords.reshape(B, 3, R, _LANES)
-    x, y, z = planes[:, 0], planes[:, 1], planes[:, 2]
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
     kernel = functools.partial(
         _fps_batched_kernel, num_samples=num_samples, n_pad=n_pad
     )
-    spec = pl.BlockSpec((B, R, _LANES), lambda: (0, 0, 0),
-                        memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((B, n_pad), lambda: (0, 0), memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
         grid=(),
         in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec((num_samples, B), lambda: (0, 0),
+        out_specs=pl.BlockSpec((B, num_samples), lambda: (0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_samples, B), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((B, R, _LANES), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, n_pad), jnp.float32)],
     )(x, y, z)
-    return out.T
+    return out

@@ -16,31 +16,22 @@ from cpfn_tpu import ops
 
 
 def _interpret_fps_batched(points, num_samples):
-    from cpfn_tpu.ops.pallas_kernels import _LANES, _fps_batched_kernel
+    # run the PRODUCTION wrapper with interpret=True patched in, so the test
+    # exercises exactly the layouts/specs the hardware path uses
+    from cpfn_tpu.ops import pallas_kernels
 
-    B, N, _ = points.shape
-    n_pad = -(-N // _LANES) * _LANES
-    R = n_pad // _LANES
-    coords = jnp.moveaxis(points, -1, 1)
-    if n_pad != N:
-        coords = jnp.pad(coords, ((0, 0), (0, 0), (0, n_pad - N)))
-    planes = coords.reshape(B, 3, R, _LANES)
-    kernel = functools.partial(
-        _fps_batched_kernel, num_samples=num_samples, n_pad=n_pad
-    )
-    spec = pl.BlockSpec((B, R, _LANES), lambda: (0, 0, 0),
-                        memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        kernel,
-        grid=(),
-        in_specs=[spec, spec, spec],
-        out_specs=pl.BlockSpec((num_samples, B), lambda: (0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_samples, B), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((B, R, _LANES), jnp.float32)],
-        interpret=True,
-    )(planes[:, 0], planes[:, 1], planes[:, 2])
-    return out.T
+    old_call = pl.pallas_call
+    try:
+        def call_interpret(*a, **k):
+            k["interpret"] = True
+            return old_call(*a, **k)
+
+        pallas_kernels.pl.pallas_call = call_interpret
+        return pallas_kernels._farthest_point_sample_pallas_batched.__wrapped__(
+            points, num_samples
+        )
+    finally:
+        pallas_kernels.pl.pallas_call = old_call
 
 
 def test_fps_batched_kernel_interpret(rng):

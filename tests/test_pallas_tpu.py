@@ -31,6 +31,20 @@ def test_fps_pallas_matches_xla(rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_fps_pallas_production_shapes(rng):
+    """The two shapes the cascade actually runs: the 100k-pt global cloud
+    (single-program kernel, near the VMEM residency bound) and the 32x8192
+    LocalSPFN patch stack (batched kernel)."""
+    from cpfn_tpu import ops
+    from cpfn_tpu.ops.pallas_kernels import farthest_point_sample_pallas
+
+    for B, N, m in [(1, 100_000, 512), (32, 8192, 512)]:
+        P = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+        a = np.asarray(ops.farthest_point_sample(P, m, impl="xla"))
+        b = np.asarray(farthest_point_sample_pallas(P, m))
+        np.testing.assert_array_equal(a, b)
+
+
 def test_ball_query_pallas_matches_xla(rng):
     from cpfn_tpu import ops
     from cpfn_tpu.ops.pallas_kernels import ball_query_pallas
