@@ -17,3 +17,10 @@ python -m cpfn_tpu.train.train_patchselec \
   --config_file configs/config_synth2_patchselec.yml \
   --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
   --csv_dir data_synth2/Dataset --scale 0.05 --max_steps 20000
+
+# Stage 3: LocalSPFN on the GT-sampled patch corpus (feature-free).
+python -m cpfn_tpu.train.train_spfn \
+  --config_file configs/config_synth2_local.yml \
+  --csv_dir data_synth2/Dataset --path_patches data_synth2/patches \
+  --network LocalSPFN --scale 0.05 --device_dataset \
+  --max_steps 40000 --snapshot_steps 2000 --log_every 20
