@@ -259,9 +259,17 @@ class CascadeRunner:
                 jax.jit(cascade_device_ps)
                 if patchselec_model is not None else None
             )
+            # unjitted bodies, for wrapping under shard_map
+            # (parallel.make_cloud_parallel_cascade)
+            self._cascade_device_raw = cascade_device
+            self._cascade_device_ps_raw = (
+                cascade_device_ps if patchselec_model is not None else None
+            )
         else:
             self._cascade_device = None
             self._cascade_device_ps = None
+            self._cascade_device_raw = None
+            self._cascade_device_ps_raw = None
 
     def select_pool(self, P_lr: jax.Array) -> np.ndarray:
         """PatchSelection heatmap -> pool indices into the low-res cloud."""
@@ -427,7 +435,6 @@ class CascadeRunner:
         host work and device compute. Yields per-cloud result dicts."""
         rng = rng or np.random
         staged = None
-        prev = None
         for cloud in clouds:
             cur = (cloud, self._phase1(cloud[0], cloud[1]))
             if staged is not None:

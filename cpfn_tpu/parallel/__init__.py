@@ -3,6 +3,7 @@ from cpfn_tpu.parallel.mesh import (
     replicate,
     shard_batch,
     make_sharded_spfn_train_step,
+    make_cloud_parallel_cascade,
     make_patch_parallel_forward,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "replicate",
     "shard_batch",
     "make_sharded_spfn_train_step",
+    "make_cloud_parallel_cascade",
     "make_patch_parallel_forward",
 ]

@@ -81,6 +81,70 @@ def make_sharded_spfn_train_step(
     return jax.jit(sharded)
 
 
+def make_cloud_parallel_cascade(runner, mesh: Mesh, axis_name: str = "dp"):
+    """Throughput scaling of the cascaded inference over the mesh: a [B]
+    batch of clouds shards over the devices, each running the FULL
+    single-dispatch cascade (CascadeRunner.run_cloud_device's graph) on its
+    local clouds sequentially via lax.map. Embarrassingly parallel — zero
+    collectives — so throughput scales ~linearly with mesh size; this is the
+    v5e-8 north-star deployment shape (8 clouds in flight, one per chip).
+
+    `runner` must be a CascadeRunner built WITHOUT a mesh (its single-device
+    cascade graph is what gets replicated). Returns
+    fn(P_hr [B,N,3], P_lr [B,n,3], pool_mask [B,n] bool | None, keys [B,2])
+    -> per-cloud output dict with a leading [B] axis; B must divide by the
+    mesh size. pool_mask=None routes through the patch-selection network.
+    """
+    raw = runner._cascade_device_raw
+    raw_ps = runner._cascade_device_ps_raw
+    assert raw is not None, "runner was built with a mesh; build it without"
+    lm, gm, pm = runner.local_model, runner.global_model, runner.patchselec_model
+
+    def oracle_body(P_hr, P_lr, pool_mask, keys):
+        return jax.lax.map(
+            lambda args: raw(
+                lm.params, lm.state, gm.params, gm.state, *args
+            ),
+            (P_hr, P_lr, pool_mask, keys),
+        )
+
+    def ps_body(P_hr, P_lr, keys):
+        return jax.lax.map(
+            lambda args: raw_ps(
+                lm.params, lm.state, gm.params, gm.state,
+                pm.params, pm.state, *args,
+            ),
+            (P_hr, P_lr, keys),
+        )
+
+    sharded_oracle = jax.jit(jax.shard_map(
+        oracle_body,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    ))
+    sharded_ps = jax.jit(jax.shard_map(
+        ps_body,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )) if raw_ps is not None else None
+
+    def fn(P_hr, P_lr, pool_mask=None, keys=None):
+        B = P_hr.shape[0]
+        assert B % mesh.devices.size == 0, (B, mesh.devices.size)
+        if keys is None:
+            keys = jax.random.split(jax.random.PRNGKey(0), B)
+        if pool_mask is None:
+            assert sharded_ps is not None, "runner has no patch-selection model"
+            return sharded_ps(P_hr, P_lr, keys)
+        return sharded_oracle(P_hr, P_lr, pool_mask, keys)
+
+    return fn
+
+
 def make_patch_parallel_forward(
     model_cfg: PointNet2Config, mesh: Mesh, axis_name: str = "dp"
 ):

@@ -86,3 +86,64 @@ def test_patch_parallel_forward_matches_single_device(rng):
     X1, T1, W1 = spfn_postprocess(out)
     np.testing.assert_allclose(np.asarray(X), np.asarray(X1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(W), np.asarray(W1), atol=1e-5)
+
+
+def test_cloud_parallel_cascade_matches_single_device(rng):
+    """A [B]-cloud batch sharded over the mesh must reproduce the
+    single-device single-dispatch cascade per cloud."""
+    from cpfn_tpu.data import make_synthetic_scene
+    from cpfn_tpu.eval import CascadeRunner, ModelBundle
+    from cpfn_tpu.parallel import make_cloud_parallel_cascade
+
+    factory.register_primitives(list(SCENE.classes))
+    n_dev = len(jax.devices())
+    mesh = make_mesh()
+    N_HR, N_LR, N_PATCH, MAX_P, K_G, K_L = 512, 128, 128, 4, 6, 5
+
+    def bundle(key, sizes):
+        cfg = PointNet2Config(output_sizes=sizes, **TINY_MODEL)
+        params, state = init_pointnet2(key, cfg)
+        return ModelBundle(cfg, params, state)
+
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    runner = CascadeRunner(
+        bundle(keys[0], (3, 4, K_G)), bundle(keys[1], (2,)),
+        bundle(keys[2], (3, 4, K_L)),
+        n_max_global_instances=K_G, n_max_local_instances=K_L,
+        num_points_patch=N_PATCH, max_patches=MAX_P,
+    )
+    scene_cfg = SyntheticSceneConfig(
+        n_points=N_HR, n_max_instances=K_G, min_instances=2, max_instances=3,
+        n_gt_points_per_instance=32,
+    )
+    P_hr, P_lr, pool = [], [], []
+    for i in range(n_dev):
+        s = make_synthetic_scene(rng, scene_cfg)
+        P_hr.append(s["noisy_points"])
+        lr_idx = rng.choice(N_HR, N_LR, replace=False)
+        P_lr.append(s["noisy_points"][lr_idx])
+        pool.append(s["I_gt"][lr_idx] == 0)  # arbitrary non-empty pool
+    P_hr = jnp.asarray(np.stack(P_hr), jnp.float32)
+    P_lr = jnp.asarray(np.stack(P_lr), jnp.float32)
+    pool = jnp.asarray(np.stack(pool))
+    ks = jax.random.split(jax.random.PRNGKey(9), n_dev)
+
+    fn = make_cloud_parallel_cascade(runner, mesh)
+    got = fn(P_hr, P_lr, pool, keys=ks)
+    for i in range(n_dev):
+        ref = runner.run_cloud_device(P_hr[i], P_lr[i], pool[i], key=ks[i])
+        np.testing.assert_array_equal(
+            np.asarray(got["hard"][i]), np.asarray(ref["hard"])
+        )
+        np.testing.assert_allclose(
+            np.asarray(got["W"][i]), np.asarray(ref["W"]), atol=1e-5
+        )
+        assert int(got["n_patches"][i]) == int(ref["n_patches"])
+
+    # patch-selection-network path shards the same way
+    got_ps = fn(P_hr, P_lr, None, keys=ks)
+    for i in range(n_dev):
+        ref = runner.run_cloud_device(P_hr[i], P_lr[i], None, key=ks[i])
+        np.testing.assert_array_equal(
+            np.asarray(got_ps["hard"][i]), np.asarray(ref["hard"])
+        )
