@@ -88,6 +88,7 @@ class PatchSelectionDataset:
         n_points: int | None = 8192,
         normalisation: bool = True,
         seed: int = 0,
+        preload: bool = False,
     ):
         self.lowres_files = list(lowres_files)
         self.highres_files = list(highres_files)
@@ -95,20 +96,38 @@ class PatchSelectionDataset:
         self.n_points = n_points
         self.normalisation = normalisation
         self.rng = np.random.RandomState(seed)
+        # preload caches the (normalized points, binary labels) pairs in RAM
+        # (~160 KB/cloud); only the per-access shuffle is drawn lazily, so
+        # the record RNG stream is identical to the lazy path
+        self._cache = [None] * len(self.lowres_files) if preload else None
 
     def __len__(self):
         return len(self.lowres_files)
 
-    def __getitem__(self, i: int) -> dict:
-        pts, labels, unshuffle = hdf5_mod.parse_patch_selection_record(
+    def _load(self, i: int):
+        return hdf5_mod.parse_patch_selection_record(
             self.lowres_files[i],
             self.highres_files[i],
             self.scale,
             normalisation=self.normalisation,
             n_points=self.n_points,
-            rng=self.rng,
+            shuffle=False,
         )
-        return {"P": pts, "labels": labels, "unshuffle": unshuffle}
+
+    def __getitem__(self, i: int) -> dict:
+        if self._cache is not None:
+            if self._cache[i] is None:
+                self._cache[i] = self._load(i)[:2]
+            pts, labels = self._cache[i]
+        else:
+            pts, labels = self._load(i)[:2]
+        n = pts.shape[0]
+        shuffled = self.rng.choice(n, n, replace=False)
+        return {
+            "P": pts[shuffled],
+            "labels": labels[shuffled],
+            "unshuffle": np.argsort(shuffled),
+        }
 
 
 class TrainLocalSPFNDataset:

@@ -123,11 +123,13 @@ def parse_patch_selection_record(
     normalisation: bool = True,
     n_points: int | None = None,
     rng: np.random.RandomState | None = None,
+    shuffle: bool = True,
 ):
     """Binary small-primitive labels on the low-res cloud
     (cf. `dataset_utils.py:10-32`): a primitive is 'small' if it covers fewer
     than scale * N_highres points of the high-res cloud. Returns
-    (points, labels, unshuffle_indices)."""
+    (points, labels, unshuffle_indices); shuffle=False returns them in file
+    order with an identity unshuffle (callers that cache shuffle themselves)."""
     import h5py
 
     rng = rng or np.random
@@ -145,5 +147,7 @@ def parse_patch_selection_record(
     if normalisation:
         points = points - points.mean(axis=0)
         points = points / np.linalg.norm(points, axis=1).max()
+    if not shuffle:
+        return points, out_labels, np.arange(n)
     shuffled = rng.choice(n, n, replace=False)
     return points[shuffled], out_labels[shuffled], np.argsort(shuffled)

@@ -57,8 +57,12 @@ def main(argv=None):
         )
         if first_n != -1:
             lr, hr = lr[:first_n], hr[:first_n]
+        # preload: each record costs ~1 MB of h5 reads (lowres cloud + the
+        # high-res label vector); cached once, the multi-epoch loop is
+        # device-bound instead of host-IO-bound
         return PatchSelectionDataset(
-            lr, hr, args.scale, n_points=args.n_points, seed=seed
+            lr, hr, args.scale, n_points=args.n_points, seed=seed,
+            preload=True,
         )
 
     train_ds = make_ds(conf.train_data_file, conf.train_first_n, 1)

@@ -48,3 +48,38 @@ def test_gen_corpus_layout_and_resume(tmp_path):
     a = _read(path0)["P"]
     b = _read(os.path.join(out, "highres", train_names[1]))["P"]
     assert not np.array_equal(a, b)
+
+
+def test_patch_selection_dataset_preload_equivalence(tmp_path):
+    """preload=True must yield records identical to the lazy path (same seed:
+    the per-access shuffle stream is unchanged by caching)."""
+    from cpfn_tpu.data.dataset import PatchSelectionDataset
+    from cpfn_tpu.preprocess import lowres as pre_lowres
+
+    out = str(tmp_path / "c")
+    gen_corpus.main([
+        "--out", out, "--n_train", "2", "--n_test", "1",
+        "--n_points", "2000", "--min_instances", "3", "--max_instances", "3",
+        "--min_small", "1", "--max_small", "1", "--seed", "3",
+    ])
+    lr_dir = str(tmp_path / "lr")
+    pre_lowres.main([
+        "--path_highres", os.path.join(out, "highres"),
+        "--path_lowres", lr_dir,
+        "--path_split_file", os.path.join(out, "Dataset", "train_models.csv"),
+        "--nb_query_points", "256", "--n_jobs", "1",
+    ])
+    with open(os.path.join(out, "Dataset", "train_models.csv")) as f:
+        names = [l.strip() for l in f if l.strip()]
+    lr = [os.path.join(lr_dir, n) for n in names]
+    hr = [os.path.join(out, "highres", n) for n in names]
+    kw = dict(scale=0.05, n_points=None, seed=11)
+    lazy = PatchSelectionDataset(lr, hr, **kw)
+    pre = PatchSelectionDataset(lr, hr, preload=True, **kw)
+    for i in range(len(lazy)):
+        a, b = lazy[i], pre[i]
+        for k in ("P", "labels", "unshuffle"):
+            np.testing.assert_array_equal(a[k], b[k])
+    # second access hits the cache and still matches the lazy stream
+    for k in ("P", "labels", "unshuffle"):
+        np.testing.assert_array_equal(lazy[0][k], pre[0][k])
