@@ -35,6 +35,10 @@ K_G, K_L, Q = 28, 21, 4
 N_CLOUDS = int(os.environ.get("CPFN_BENCH_CLOUDS", "12"))
 N_WARMUP = 2
 TRAINED = os.environ.get("CPFN_BENCH_TRAINED", "") not in ("", "0")
+# bf16 matmul inputs (f32 accumulation) in every network forward — the TPU
+# mixed-precision eval recipe; quality parity vs f32 is validated in
+# QUALITY.md before this can become the default
+BF16 = os.environ.get("CPFN_BENCH_BF16", "") not in ("", "0")
 CKPT_DIR = os.environ.get("CPFN_BENCH_CKPT_DIR", "data_synth/checkpoints")
 BASELINE_CLOUDS_PER_SEC_PER_CHIP = 50.0 / 8.0
 
@@ -81,7 +85,10 @@ def main():
         clouds.append((P_hr, P_hr[lr_idx], pool_mask))
 
     def bundle(key, sizes, name):
-        cfg = PointNet2Config(output_sizes=sizes)
+        cfg = PointNet2Config(
+            output_sizes=sizes,
+            compute_dtype="bfloat16" if BF16 else None,
+        )
         params, state = init_pointnet2(key, cfg)
         if TRAINED:
             from cpfn_tpu.utils.checkpoint import restore_checkpoint

@@ -46,6 +46,9 @@ class Config:
     parameter_loss_multiplier: float = 1.0
     residue_loss_multiplier: float = 1.0
     total_loss_multiplier: float = 1.0
+    # global-norm gradient clip (TPU-native addition; 0 = off, the
+    # reference's behavior)
+    grad_clip_norm: float = 0.0
     list_of_primitives: Sequence[str] = (
         "sphere", "plane", "cylinder", "cone",
     )
@@ -105,5 +108,6 @@ class Config:
             parameter_loss_multiplier=self.parameter_loss_multiplier,
             residue_loss_multiplier=self.residue_loss_multiplier,
             total_loss_multiplier=self.total_loss_multiplier,
+            grad_clip_norm=self.grad_clip_norm,
             classes=tuple(self.list_of_primitives),
         )

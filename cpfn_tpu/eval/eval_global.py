@@ -45,6 +45,9 @@ def build_argparser():
                    help="skip the per-point feature artifacts (the released "
                         "LocalSPFN config is feature-free; saves large "
                         "device->host transfers)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 matmul inputs (f32 accumulation) in the "
+                   "GlobalSPFN forward — the TPU mixed-precision eval mode")
     return p
 
 
@@ -53,6 +56,10 @@ def main(argv=None):
     conf = Config.from_yaml(args.config_file)
     factory.register_primitives(list(conf.list_of_primitives))
     model_cfg = conf.model_config("GlobalSPFN")
+    if args.bf16:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(model_cfg, compute_dtype="bfloat16")
     k_max = conf.n_max_global_instances
     os.makedirs(args.output_folder, exist_ok=True)
 

@@ -44,6 +44,9 @@ def build_argparser():
     p.add_argument("--first_n", type=int, default=-1)
     p.add_argument("--max_patches", type=int, default=32)
     p.add_argument("--num_points_patch", type=int, default=8192)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 matmul inputs (f32 accumulation) in the "
+                   "LocalSPFN forward — the TPU mixed-precision eval mode")
     return p
 
 
@@ -57,6 +60,10 @@ def main(argv=None):
     os.makedirs(args.output_folder, exist_ok=True)
 
     model_cfg = conf.model_config("LocalSPFN")
+    if args.bf16:
+        import dataclasses
+
+        model_cfg = dataclasses.replace(model_cfg, compute_dtype="bfloat16")
     params, state = init_pointnet2(jax.random.PRNGKey(0), model_cfg)
     ckpt = args.weights or os.path.join(
         conf.checkpoint_dir, f"localspfn_{round(args.scale, 2)}"

@@ -63,6 +63,12 @@ class PointNet2Config:
     # 'bfloat16' casts matmul inputs down (f32 accumulation, f32 params/BN) —
     # the TPU mixed-precision recipe; None keeps full f32
     compute_dtype: str | None = None
+    # Frozen-BN fine-tune mode: always normalize with the (restored) running
+    # statistics and never update them, even under train=True. Standard
+    # transfer-learning practice; essential when warm-starting LocalSPFN from
+    # GlobalSPFN — batch statistics of the patch distribution wash out the
+    # transferred membership structure (QUALITY.md round 2).
+    bn_eval_mode: bool = False
 
     @property
     def glob_feature_dim(self) -> int:
@@ -249,11 +255,13 @@ def apply_pointnet2(
     input_feats = (
         points[..., cfg.dim_pos :] if points.shape[-1] > cfg.dim_pos else None
     )
+    cdt = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
+    # bn_eval_mode freezes BN (running stats, no updates) while dropout and
+    # everything else still follow `train`
+    bn_train = train and not cfg.bn_eval_mode
     kw = dict(
-        train=train, momentum=bn_momentum, axis_name=axis_name,
-        compute_dtype=jnp.dtype(cfg.compute_dtype)
-        if cfg.compute_dtype
-        else None,
+        train=bn_train, momentum=bn_momentum, axis_name=axis_name,
+        compute_dtype=cdt,
     )
     new_state = {}
     l1_pos, l1_feats, new_state["sa1"] = _set_abstraction(
@@ -287,7 +295,7 @@ def apply_pointnet2(
         params["fp3"], state["fp3"], input_pos, l1_pos, input_feats, l5_feats,
         **kw,
     )
-    point_feat = layers.linear_apply(params["fc1"], l6_feats)
+    point_feat = layers.linear_apply(params["fc1"], l6_feats, cdt)
     outputs = {"global_feat": l3_feats[:, 0, :]}
     if cfg.features_extractor:
         outputs["heads"] = []
@@ -295,12 +303,12 @@ def apply_pointnet2(
     else:
         x, new_state["bn1"] = layers.bn_apply(
             params["bn1"], state["bn1"], point_feat,
-            train=train, momentum=bn_momentum, axis_name=axis_name,
+            train=bn_train, momentum=bn_momentum, axis_name=axis_name,
         )
         x = jax.nn.relu(x)
         x = layers.dropout(rng, x, cfg.dropout_rate, train=train)
         outputs["heads"] = [
-            layers.linear_apply(head, x) for head in params["heads"]
+            layers.linear_apply(head, x, cdt) for head in params["heads"]
         ]
         outputs["point_feat"] = x
     return outputs, new_state

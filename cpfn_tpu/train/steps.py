@@ -44,6 +44,11 @@ class SPFNTrainConfig:
     # Registration order defines type ids; the shipped configs register
     # ['sphere','plane','cylinder','cone'] (config_globalSPFN.yml:13-17).
     classes: Sequence[str] = ("sphere", "plane", "cylinder", "cone")
+    # global-norm gradient clip; 0 disables. The reference only gates
+    # nonfinite grads (training_utils.py:152-158) — finite-but-huge spikes
+    # from the TLS eigh VJP on near-degenerate fits can still wreck a run
+    # (observed in round 2: one spike undid 10k steps of LocalSPFN training).
+    grad_clip_norm: float = 0.0
 
 
 def init_optimizer(cfg: SPFNTrainConfig):
@@ -51,9 +56,12 @@ def init_optimizer(cfg: SPFNTrainConfig):
     lr = schedules.staircase_learning_rate(
         cfg.init_learning_rate, cfg.batch_size, cfg.decay_step, cfg.decay_rate
     )
-    return optax.apply_if_finite(
-        optax.adam(learning_rate=lr), max_consecutive_errors=10**8
-    )
+    opt = optax.adam(learning_rate=lr)
+    if cfg.grad_clip_norm and cfg.grad_clip_norm > 0:
+        opt = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm), opt
+        )
+    return optax.apply_if_finite(opt, max_consecutive_errors=10**8)
 
 
 def _gt_parameters(batch: dict) -> dict:

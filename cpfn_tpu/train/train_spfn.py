@@ -125,15 +125,30 @@ def main(argv=None):
     opt_state = opt.init(params)
     step_idx = 0
     ckpt_dir = os.path.join(conf.checkpoint_dir, name)
-    if args.spfn_weights:
+    def _restore(directory):
+        """Restore params+state+opt_state; if the checkpoint's optimizer
+        state has a different structure (the optimizer config changed since
+        the snapshot, e.g. grad clipping toggled), restore params+state and
+        start from fresh optimizer moments instead of failing."""
         tpl = {"params": params, "state": state, "opt_state": opt_state}
-        restored, at = restore_checkpoint(args.spfn_weights, tpl)
+        try:
+            restored, at = restore_checkpoint(directory, tpl)
+        except Exception:
+            restored, at = restore_checkpoint(
+                directory, {"params": params, "state": state}
+            )
+            restored = dict(restored)
+            restored["opt_state"] = opt_state
+            print("optimizer state structure changed; reinitialized moments")
+        return restored, at
+
+    if args.spfn_weights:
+        restored, at = _restore(args.spfn_weights)
         params, state = restored["params"], restored["state"]
-        opt_state = restored.get("opt_state", opt_state)
+        opt_state = restored["opt_state"]
         print(f"warm-started from {args.spfn_weights} @ step {at}")
     elif latest_step(ckpt_dir) is not None:
-        tpl = {"params": params, "state": state, "opt_state": opt_state}
-        restored, step_idx = restore_checkpoint(ckpt_dir, tpl)
+        restored, step_idx = _restore(ckpt_dir)
         params, state = restored["params"], restored["state"]
         opt_state = restored["opt_state"]
         print(f"resumed from {ckpt_dir} @ step {step_idx}")
@@ -164,9 +179,25 @@ def main(argv=None):
 
     gather_step = None
     if args.device_dataset and n_dev == 1:
+        # one __getitem__ per record, all keys from the SAME returned dict:
+        # datasets with stochastic __getitem__ (TrainLocalSPFNDataset draws a
+        # fresh point permutation per call) would otherwise get a different
+        # permutation per key, silently decorrelating P from its labels
+        def _stack_records(ds):
+            out = None
+            for i in range(len(ds)):
+                rec = ds[i]
+                if out is None:
+                    out = {
+                        k: np.empty((len(ds),) + rec[k].shape, rec[k].dtype)
+                        for k in _BATCH_KEYS
+                    }
+                for k in _BATCH_KEYS:
+                    out[k][i] = rec[k]
+            return out
+
         stacked = {
-            k: jnp.asarray(np.stack([train_ds[i][k] for i in range(len(train_ds))]))
-            for k in _BATCH_KEYS
+            k: jnp.asarray(v) for k, v in _stack_records(train_ds).items()
         }
         data_dev = jax.device_put(stacked)
         inner_step = make_spfn_train_step(model_cfg, train_cfg, optimizer=opt)

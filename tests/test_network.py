@@ -127,3 +127,40 @@ def test_input_features_beyond_xyz(rng):
     P2 = P.at[..., 3:].add(1.0)
     out2, _ = apply_pointnet2(params, state, cfg, P2, train=False)
     assert float(jnp.max(jnp.abs(out["heads"][0] - out2["heads"][0]))) > 1e-6
+
+
+def test_bn_eval_mode_freezes_statistics(rng):
+    """bn_eval_mode: train=True forward normalizes with running stats (same
+    outputs as eval mode when dropout is off) and never updates BN state —
+    the frozen-BN transfer fine-tune mode."""
+    import dataclasses
+
+    cfg = PointNet2Config(
+        output_sizes=(2,), dropout_rate=0.0, bn_eval_mode=True, **TINY
+    )
+    params, state = init_pointnet2(jax.random.PRNGKey(0), cfg)
+    P = jnp.array(rng.randn(2, 128, 3), jnp.float32)
+    out_tr, st_tr = apply_pointnet2(
+        params, state, cfg, P, train=True, rng=jax.random.PRNGKey(1)
+    )
+    out_ev, _ = apply_pointnet2(params, state, cfg, P, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_tr["heads"][0]), np.asarray(out_ev["heads"][0]),
+        rtol=1e-6, atol=1e-6,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(st_tr), jax.tree_util.tree_leaves(state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # sanity: without bn_eval_mode the same call DOES update BN state
+    cfg2 = dataclasses.replace(cfg, bn_eval_mode=False)
+    _, st2 = apply_pointnet2(
+        params, state, cfg2, P, train=True, rng=jax.random.PRNGKey(1)
+    )
+    changed = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(st2), jax.tree_util.tree_leaves(state)
+        )
+    )
+    assert changed

@@ -164,3 +164,53 @@ def test_train_step_determinism(rng):
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
     assert float(outs[0][1]["total_loss"]) == float(outs[1][1]["total_loss"])
+
+
+def test_device_dataset_staging_alignment():
+    """--device_dataset staging must call __getitem__ ONCE per record and take
+    every key from the same returned dict: datasets with a stochastic
+    __getitem__ (TrainLocalSPFNDataset re-permutes points per call) would
+    otherwise get a different permutation per key, silently decorrelating P
+    from I_gt/normal_gt (the round-2 local-training bug)."""
+    import numpy as np
+
+    from cpfn_tpu.train.train_spfn import _BATCH_KEYS
+
+    class StochasticDS:
+        def __init__(self, n):
+            self.n = n
+            self.rng = np.random.RandomState(0)
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            perm = self.rng.permutation(16)
+            base = np.arange(16, dtype=np.float32) + 100 * i
+            rec = {
+                "P": np.stack([base[perm]] * 3, axis=1),
+                "normal_gt": np.stack([base[perm]] * 3, axis=1),
+                "I_gt": base[perm].astype(np.int64),
+                "P_gt": np.zeros((4, 8, 3), np.float32),
+                "T_gt": np.zeros((4,), np.int64),
+                "plane_n_gt": np.zeros((4, 3), np.float32),
+                "cylinder_axis_gt": np.zeros((4, 3), np.float32),
+                "cone_axis_gt": np.zeros((4, 3), np.float32),
+            }
+            return rec
+
+    # reproduce the (fixed) staging: one __getitem__ per record
+    ds = StochasticDS(5)
+    out = None
+    for i in range(len(ds)):
+        rec = ds[i]
+        if out is None:
+            out = {
+                k: np.empty((len(ds),) + rec[k].shape, rec[k].dtype)
+                for k in _BATCH_KEYS
+            }
+        for k in _BATCH_KEYS:
+            out[k][i] = rec[k]
+    for i in range(len(ds)):
+        np.testing.assert_array_equal(out["P"][:, :, 0][i], out["I_gt"][i])
+        np.testing.assert_array_equal(out["P"][i], out["normal_gt"][i])
