@@ -97,7 +97,8 @@ def make_cloud_parallel_cascade(runner, mesh: Mesh, axis_name: str = "dp"):
     """
     raw = runner._cascade_device_raw
     raw_ps = runner._cascade_device_ps_raw
-    assert raw is not None, "runner was built with a mesh; build it without"
+    if raw is None:
+        raise ValueError("runner was built with a mesh; build it without")
     lm, gm, pm = runner.local_model, runner.global_model, runner.patchselec_model
 
     def oracle_body(P_hr, P_lr, pool_mask, keys):
@@ -134,11 +135,16 @@ def make_cloud_parallel_cascade(runner, mesh: Mesh, axis_name: str = "dp"):
 
     def fn(P_hr, P_lr, pool_mask=None, keys=None):
         B = P_hr.shape[0]
-        assert B % mesh.devices.size == 0, (B, mesh.devices.size)
+        if B % mesh.devices.size != 0:
+            raise ValueError(
+                f"cloud batch {B} not divisible by mesh size "
+                f"{mesh.devices.size}"
+            )
         if keys is None:
             keys = jax.random.split(jax.random.PRNGKey(0), B)
         if pool_mask is None:
-            assert sharded_ps is not None, "runner has no patch-selection model"
+            if sharded_ps is None:
+                raise ValueError("runner has no patch-selection model")
             return sharded_ps(P_hr, P_lr, keys)
         return sharded_oracle(P_hr, P_lr, pool_mask, keys)
 

@@ -133,13 +133,20 @@ def main(argv=None):
         tpl = {"params": params, "state": state, "opt_state": opt_state}
         try:
             restored, at = restore_checkpoint(directory, tpl)
-        except Exception:
+        except (ValueError, KeyError, TypeError) as e:
+            # Structure-mismatch errors only (optimizer config changed since
+            # the snapshot). I/O errors (OSError etc.) propagate — silently
+            # resetting Adam moments on a transient read failure would
+            # corrupt a resumed run.
             restored, at = restore_checkpoint(
                 directory, {"params": params, "state": state}
             )
             restored = dict(restored)
             restored["opt_state"] = opt_state
-            print("optimizer state structure changed; reinitialized moments")
+            print(
+                "optimizer state structure changed; reinitialized moments "
+                f"({type(e).__name__}: {e})"
+            )
         return restored, at
 
     if args.spfn_weights:

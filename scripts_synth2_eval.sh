@@ -25,8 +25,10 @@ python -m cpfn_tpu.eval.eval_baseline \
   --csv_dir data_synth2/Dataset --output_folder data_synth2/eval_out
 
 # 4) cascaded LocalSPFN + cross-scale fusion (evaluation_localSPFN path)
+# v8 config: its checkpoint_dir points at checkpoints_v8 (the current best
+# LocalSPFN run); the plain config would silently evaluate the stale model.
 python -m cpfn_tpu.eval.eval_local \
-  --config_file configs/config_synth2_local.yml \
+  --config_file configs/config_synth2_local_v8.yml \
   --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
   --dir_spfn data_synth2/globalspfn_eval --dir_indices data_synth2/heatmaps \
   --csv_dir data_synth2/Dataset --output_folder data_synth2/eval_out --scale 0.05
