@@ -11,9 +11,14 @@ def enable_compilation_cache(path: str | None = None) -> None:
     drivers, before the first jit execution."""
     import jax
 
-    base = path or os.environ.get(
-        "CPFN_COMPILATION_CACHE", os.path.expanduser("~/.cache/cpfn_xla")
+    # Default inside the repo: the repo working tree persists across driver
+    # rounds/sessions while $HOME caches may not, so a bench or eval run in a
+    # fresh session reuses executables compiled in earlier ones.
+    default_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
+        ".xla_cache",
     )
+    base = path or os.environ.get("CPFN_COMPILATION_CACHE", default_dir)
     try:
         backend = jax.default_backend()
         if backend not in ("tpu", "axon"):

@@ -33,6 +33,7 @@ def load_reference():
         return "cpu" if (isinstance(d, int) and d < 0) else d
 
     torch.Tensor.get_device = _get_device
+    _install_numba_stub()
     try:
         from SPFN import (  # noqa: F401
             differentiable_tls,
@@ -44,6 +45,7 @@ def load_reference():
             losses_implementation,
             metric_implementation,
         )
+        from Utils import merging_utils  # noqa: F401
     except Exception:
         return None
     import types
@@ -58,5 +60,47 @@ def load_reference():
         cone_fitter=cone_fitter,
         losses_implementation=losses_implementation,
         metric_implementation=metric_implementation,
+        merging_utils=merging_utils,
     )
     return ns
+
+
+def _install_numba_stub():
+    """numba is not in this environment; the reference's `Utils/merging_utils`
+    only uses `@numba.jit(signature, nopython=True)` as a decorator. A stub
+    whose jit is identity runs the reference's own Python source unmodified —
+    numba's nopython mode preserves plain-NumPy semantics for this function,
+    so the executed behavior is the reference's."""
+    import sys
+    import types
+
+    import numpy as np
+
+    if "numba" in sys.modules:
+        return
+
+    class _Sig:
+        # numba.int64 appears both in jit signatures (int64[:], int64(...))
+        # and as a NumPy dtype (np.arange(..., dtype=numba.int64)); NumPy
+        # resolves objects through their `dtype` attribute.
+        def __init__(self, np_dtype):
+            self.dtype = np.dtype(np_dtype)
+
+        def __getitem__(self, _):
+            return self
+
+        def __call__(self, *a, **k):
+            return self
+
+    stub = types.ModuleType("numba")
+    stub.int64 = _Sig(np.int64)
+    stub.float64 = _Sig(np.float64)
+
+    def jit(*_a, **_k):
+        def deco(fn):
+            return fn
+
+        return deco
+
+    stub.jit = jit
+    sys.modules["numba"] = stub
