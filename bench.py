@@ -35,6 +35,9 @@ K_G, K_L, Q = 28, 21, 4
 N_CLOUDS = int(os.environ.get("CPFN_BENCH_CLOUDS", "12"))
 N_WARMUP = 2
 TRAINED = os.environ.get("CPFN_BENCH_TRAINED", "") not in ("", "0")
+# worst-case patch workload: a pool dense enough that greedy extraction
+# saturates MAX_PATCHES on every cloud (upper bound on per-cloud cost)
+WORST = os.environ.get("CPFN_BENCH_WORST", "") not in ("", "0")
 # bf16 matmul inputs (f32 accumulation) in every network forward — the TPU
 # mixed-precision eval recipe; quality parity vs f32 is validated in
 # QUALITY.md before this can become the default
@@ -74,7 +77,11 @@ def main():
         scene = make_synthetic_scene(rng, scene_cfg)
         P_hr = scene["noisy_points"][:N_HR]
         lr_idx = rng.choice(len(P_hr), N_LR, replace=False)
-        if TRAINED:
+        if WORST:
+            # every low-res point is in the pool: greedy extraction runs all
+            # MAX_PATCHES iterations and the LocalSPFN stack is fully dense
+            pool_mask = np.ones(N_LR, bool)
+        elif TRAINED:
             pool_mask = None  # patch-selection network picks the pool
         else:
             # GT-oracle patch pool (the reference's scale>=1 eval mode)
@@ -134,6 +141,8 @@ def main():
         f" (avg {n_patches_total / N_CLOUDS:.1f} patches/cloud)"
     )
     suffix = ", trained+patchselec" if TRAINED else ""
+    if WORST:
+        suffix += ", worst-case 32 patches"
     print(
         json.dumps(
             {

@@ -47,14 +47,13 @@ def _cost(compiled):
         return float("nan"), float("nan")
 
 
-def _time_compiled(fn_compiled, args, repeats):
+def _time_jitted(fn_jitted, args, repeats):
     import jax
 
-    out = fn_compiled(*args)
-    jax.block_until_ready(out)
+    jax.block_until_ready(fn_jitted(*args))  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(repeats):
-        out = fn_compiled(*args)
+        out = fn_jitted(*args)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / repeats
 
@@ -174,10 +173,10 @@ def main(argv=None):
     which = [g.strip() for g in args.graphs.split(",") if g.strip()]
     rows = []
     for name, (fn, fargs) in _build_graphs(which, args.bf16).items():
-        lowered = jax.jit(fn).lower(*fargs)
-        compiled = lowered.compile()
+        jitted = jax.jit(fn)
+        compiled = jitted.lower(*fargs).compile()
         flops, nbytes = _cost(compiled)
-        secs = _time_compiled(compiled, fargs, args.repeats)
+        secs = _time_jitted(jitted, fargs, args.repeats)
         rows.append(
             _report(name, flops, nbytes, secs, peak_tflops, args.peak_gbs)
         )
