@@ -53,6 +53,9 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from cpfn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     conf = Config.from_yaml(args.config_file)
     factory.register_primitives(list(conf.list_of_primitives))
     model_cfg = conf.model_config("GlobalSPFN")

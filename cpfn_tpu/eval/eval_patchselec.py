@@ -45,6 +45,9 @@ def build_argparser():
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    from cpfn_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     conf = Config.from_yaml(args.config_file)
     heatmap_folder = os.path.join(args.heatmap_folder, str(args.scale))
     os.makedirs(heatmap_folder, exist_ok=True)
