@@ -164,6 +164,9 @@ def main(argv=None):
     p.add_argument("--nb_query_points", type=int, default=8192)
     p.add_argument("--n_jobs", type=int, default=0, help="0 = 70%% of CPUs")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip_existing", action="store_true",
+                   help="skip files whose lowres output already exists "
+                        "(resumable corpus extension)")
     p.add_argument(
         "--device", action="store_true",
         help="run the FPS selection on the accelerator (one jitted graph; "
@@ -173,6 +176,12 @@ def main(argv=None):
     os.makedirs(args.path_lowres, exist_ok=True)
     with open(args.path_split_file) as f:
         files = [line.strip() for line in f if line.strip()]
+    if args.skip_existing:
+        files = [
+            f_ for f_ in files
+            if not os.path.isfile(os.path.join(args.path_lowres, f_))
+        ]
+        print(f"skip_existing: {len(files)} files left to process")
     n_jobs = args.n_jobs or max(1, int(0.7 * (os.cpu_count() or 1)))
 
     def work(i_file):

@@ -143,10 +143,20 @@ def main(argv=None):
     p.add_argument("--scale", type=float, default=0.05)
     p.add_argument("--num_points_patch", type=int, default=8192)
     p.add_argument("--no_features", action="store_true")
+    p.add_argument("--skip_existing", action="store_true",
+                   help="skip clouds whose patch dir already exists "
+                        "(resumable corpus extension)")
     args = p.parse_args(argv)
     patch_root = os.path.join(args.path_patches, str(round(args.scale, 2)))
     with open(args.path_split_file) as f:
         files = [line.strip() for line in f if line.strip()]
+    if args.skip_existing:
+        files = [
+            f_ for f_ in files if not os.path.isdir(
+                os.path.join(patch_root, f_.rsplit(".h5", 1)[0])
+            )
+        ]
+        print(f"skip_existing: {len(files)} files left to process")
     for i, file_ in enumerate(files):
         if i % 100 == 0:
             print(f"{i} / {len(files)}", flush=True)

@@ -104,11 +104,21 @@ def main(argv=None):
     p.add_argument("--max_number_patches", type=int, default=32)
     p.add_argument("--num_points_patch", type=int, default=8192)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip_existing", action="store_true",
+                   help="skip clouds whose _indices.npy already exists "
+                        "(resumable corpus extension)")
     args = p.parse_args(argv)
     out_dir = os.path.join(args.path_patches, str(round(args.scale, 2)))
     os.makedirs(out_dir, exist_ok=True)
     with open(args.path_split_file) as f:
         files = [line.strip() for line in f if line.strip()]
+    if args.skip_existing:
+        files = [
+            f_ for f_ in files if not os.path.isfile(
+                os.path.join(out_dir, f_.replace(".h5", "_indices.npy"))
+            )
+        ]
+        print(f"skip_existing: {len(files)} files left to process")
     for i, file_ in enumerate(files):
         if i % 100 == 0:
             print(f"{i} / {len(files)}", flush=True)
