@@ -21,6 +21,11 @@ class Config:
     batch_size: int = 16
     train_data_file: str = "train_models.csv"
     train_first_n: int = -1
+    # rotate the staged subset: skip this many records before taking
+    # `train_first_n` (wraps around the corpus). Lets device-resident runs
+    # cycle shards of a corpus larger than the HBM staging budget across
+    # resume segments.
+    train_skip_n: int = 0
     train_data_noisy: bool = True
     train_workers: int = 4
     val_data_file: str = "test_models.csv"

@@ -39,6 +39,17 @@ def read_csv_list(csv_path: str, data_dir: str) -> list[str]:
     return [os.path.join(data_dir, n) for n in names]
 
 
+def _shard_slice(files: list, skip_n: int, first_n: int) -> list:
+    """Rotate-and-take: skip `skip_n` records (mod corpus size), then take
+    `first_n` wrapping around the end (-1 = all). Shards a corpus larger
+    than the device-dataset HBM budget across resume segments."""
+    if not files:
+        return files
+    skip_n = skip_n % len(files)
+    rotated = files[skip_n:] + files[:skip_n]
+    return rotated if first_n == -1 else rotated[:first_n]
+
+
 def build_argparser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser()
     p.add_argument("--config_file", default="configs/config_globalSPFN.yml")
@@ -80,12 +91,11 @@ def main(argv=None):
         name = "globalspfn"
         k_max = conf.n_max_global_instances
 
-        def make_ds(csv_file, noisy, first_n, seed):
+        def make_ds(csv_file, noisy, first_n, seed, skip_n=0):
             files = read_csv_list(
                 os.path.join(args.csv_dir, csv_file), args.lowres_dataset
             )
-            if first_n != -1:
-                files = files[:first_n]
+            files = _shard_slice(files, skip_n, first_n)
             return GlobalSPFNDataset(
                 files, k_max, noisy, n_points=args.n_points, seed=seed
             )
@@ -94,7 +104,7 @@ def main(argv=None):
         k_max = conf.n_max_local_instances
         patch_root = os.path.join(args.path_patches, str(round(args.scale, 2)))
 
-        def make_ds(csv_file, noisy, first_n, seed):
+        def make_ds(csv_file, noisy, first_n, seed, skip_n=0):
             stems = [
                 os.path.basename(f).rsplit(".h5", 1)[0]
                 for f in read_csv_list(os.path.join(args.csv_dir, csv_file), "")
@@ -102,14 +112,14 @@ def main(argv=None):
             patch_files = TrainLocalSPFNDataset.enumerate_patches(
                 patch_root, stems
             )
-            if first_n != -1:
-                patch_files = patch_files[:first_n]
+            patch_files = _shard_slice(patch_files, skip_n, first_n)
             return TrainLocalSPFNDataset(
                 patch_files, k_max, noisy, use_features=False, seed=seed
             )
 
     train_ds = make_ds(
-        conf.train_data_file, conf.train_data_noisy, conf.train_first_n, 1
+        conf.train_data_file, conf.train_data_noisy, conf.train_first_n, 1,
+        skip_n=conf.train_skip_n,
     )
     val_ds = make_ds(
         conf.val_data_file, conf.val_data_noisy, conf.val_first_n, 2

@@ -32,7 +32,6 @@ while :; do
   status=$?
   if kill -0 "$pid" 2>/dev/null; then status=1; fi
   # natural exit (0 = done; nonzero without a stall kill = real failure)
-  age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
   if [ "$status" -eq 0 ]; then
     echo "[watchdog] command finished ok" >> "$LOG"; exit 0
   fi

@@ -214,3 +214,22 @@ def test_device_dataset_staging_alignment():
     for i in range(len(ds)):
         np.testing.assert_array_equal(out["P"][:, :, 0][i], out["I_gt"][i])
         np.testing.assert_array_equal(out["P"][i], out["normal_gt"][i])
+
+
+def test_shard_slice_rotation():
+    """_shard_slice cycles a corpus larger than the staging budget: shards
+    taken at skip 0, n, 2n... cover every record before repeating."""
+    from cpfn_tpu.train.train_spfn import _shard_slice
+
+    files = [f"r{i}" for i in range(10)]
+    assert _shard_slice(files, 0, -1) == files
+    assert _shard_slice(files, 0, 4) == ["r0", "r1", "r2", "r3"]
+    assert _shard_slice(files, 4, 4) == ["r4", "r5", "r6", "r7"]
+    # wraps past the end and past the corpus size
+    assert _shard_slice(files, 8, 4) == ["r8", "r9", "r0", "r1"]
+    assert _shard_slice(files, 12, 3) == ["r2", "r3", "r4"]
+    covered = set()
+    for seg in range(3):
+        covered.update(_shard_slice(files, 4 * seg, 4))
+    assert covered == set(files)
+    assert _shard_slice([], 5, 3) == []
