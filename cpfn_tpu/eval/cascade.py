@@ -71,25 +71,37 @@ class CascadeRunner:
             else n_max_global_instances + n_max_local_instances
         )
 
-        def global_fwd(params, state, P):
+        # Every network forward below runs on a SHUFFLED point order and
+        # unshuffles its per-point outputs: the networks are point-order
+        # sensitive (FPS seeds at index 0, first-K ball query) and train on
+        # shuffled orders, while stored cloud/patch orders are structured
+        # (instance-sorted clouds, kNN-sorted patches) — a distribution the
+        # models were never trained on (round-3 finding: -0.14 patch IoU).
+        def global_fwd(params, state, P, key):
+            perm = jax.random.permutation(key, P.shape[0])
+            inv = jnp.argsort(perm)
             out, _ = apply_pointnet2(
-                params, state, global_model.cfg, P[None], train=False
+                params, state, global_model.cfg, P[perm][None], train=False
             )
             X, T, W = spfn_postprocess(out)
             W_hard = hard_W_encoding(W)
             return (
-                X[0], T[0], W_hard[0],
-                out["global_feat"][0], out["point_feat"][0],
+                X[0][inv], T[0][inv], W_hard[0][inv],
+                out["global_feat"][0], out["point_feat"][0][inv],
             )
 
         self._global_fwd = jax.jit(global_fwd)
+        self._fwd_rng = np.random.RandomState(1789)
 
         if patchselec_model is not None:
-            def ps_fwd(params, state, P):
+            def ps_fwd(params, state, P, key):
+                perm = jax.random.permutation(key, P.shape[0])
+                inv = jnp.argsort(perm)
                 out, _ = apply_pointnet2(
-                    params, state, patchselec_model.cfg, P[None], train=False
+                    params, state, patchselec_model.cfg, P[perm][None],
+                    train=False,
                 )
-                return jnp.argmax(out["heads"][0][0], axis=-1)
+                return jnp.argmax(out["heads"][0][0], axis=-1)[inv]
 
             self._ps_fwd = jax.jit(ps_fwd)
 
@@ -209,17 +221,26 @@ class CascadeRunner:
             k_g2, k_l2 = self.n_max_global, self.n_max_local
 
             def cascade_device(lp, ls, gp, gs, P_hr, P_lr, pool_mask, key):
+                k_glob, k_patch, key = jax.random.split(key, 3)
+                # shuffled-order global forward (order-sensitivity, as in
+                # global_fwd above), unshuffled before fusion/outputs
+                gperm = jax.random.permutation(k_glob, P_hr.shape[0])
+                ginv = jnp.argsort(gperm)
                 out, _ = apply_pointnet2(
-                    gp, gs, global_model.cfg, P_hr[None], train=False
+                    gp, gs, global_model.cfg, P_hr[gperm][None], train=False
                 )
                 X_g, T_g, W_g = spfn_postprocess(out)
-                W_hard = hard_W_encoding(W_g)[0]
-                X_g, T_g = X_g[0], T_g[0]
+                W_hard = hard_W_encoding(W_g)[0][ginv]
+                X_g, T_g = X_g[0][ginv], T_g[0][ginv]
                 idx, valid, count = sample_patches_device(
                     P_lr, P_hr, pool_mask, key,
                     num_points_patch=self.num_points_patch,
                     max_number_patches=self.max_patches,
                 )
+                # one shared point-order shuffle for the kNN-sorted patch
+                # index rows (predictions stay aligned via the indices)
+                pperm = jax.random.permutation(k_patch, idx.shape[1])
+                idx = idx[:, pperm]
                 mask = valid.astype(jnp.float32)
                 patches = normalize_patches(P_hr, idx)
                 lout, _ = apply_pointnet2(
@@ -239,7 +260,7 @@ class CascadeRunner:
                     "W": W_f, "X": X_f, "T": T_f, "hard": hard,
                     "global_W": W_hard, "global_X": X_g, "global_T": T_g,
                     "global_feat": out["global_feat"][0],
-                    "point_feat": out["point_feat"][0],
+                    "point_feat": out["point_feat"][0][ginv],
                     "patch_indices": idx, "patch_valid": valid,
                     "n_patches": count, "n_clusters": n_valid,
                 }
@@ -247,11 +268,16 @@ class CascadeRunner:
             def cascade_device_ps(lp, ls, gp, gs, pp_, ps_, P_hr, P_lr, key):
                 """Patch pool from the patch-selection network (the full
                 production path; `cascade_device` takes an explicit pool)."""
+                k_ps, key = jax.random.split(key)
+                psperm = jax.random.permutation(k_ps, P_lr.shape[0])
+                psinv = jnp.argsort(psperm)
                 pout, _ = apply_pointnet2(
                     pp_, ps_, patchselec_model.cfg,
-                    normalize_cloud(P_lr)[None], train=False,
+                    normalize_cloud(P_lr)[psperm][None], train=False,
                 )
-                pool_mask = jnp.argmax(pout["heads"][0][0], axis=-1) == 1
+                pool_mask = (
+                    jnp.argmax(pout["heads"][0][0], axis=-1) == 1
+                )[psinv]
                 return cascade_device(lp, ls, gp, gs, P_hr, P_lr, pool_mask, key)
 
             self._cascade_device = jax.jit(cascade_device)
@@ -275,9 +301,14 @@ class CascadeRunner:
         """PatchSelection heatmap -> pool indices into the low-res cloud."""
         m = self.patchselec_model
         labels = self._ps_fwd(
-            m.params, m.state, self._normalize_cloud(P_lr)
+            m.params, m.state, self._normalize_cloud(P_lr), self._next_key()
         )
         return np.where(np.asarray(labels))[0]
+
+    def _next_key(self):
+        """Host-seeded key for the point-order shuffles in the jitted
+        forwards (deterministic per Runner instance)."""
+        return jax.random.PRNGKey(self._fwd_rng.randint(0, 2**31 - 1))
 
     def run_cloud(
         self,
@@ -313,13 +344,14 @@ class CascadeRunner:
         patch-selection forward (caller supplies the pool)."""
         g = self.global_model
         P_hr_j = jnp.asarray(P_hr, jnp.float32)
-        glob = self._global_fwd(g.params, g.state, P_hr_j)
+        glob = self._global_fwd(g.params, g.state, P_hr_j, self._next_key())
         labels = None
         if self.patchselec_model is not None and P_lr is not None:
             m = self.patchselec_model
             labels = self._ps_fwd(
                 m.params, m.state,
                 self._normalize_cloud(jnp.asarray(P_lr, jnp.float32)),
+                self._next_key(),
             )
         return {"P_hr_j": P_hr_j, "glob": glob, "ps_labels": labels}
 
@@ -340,6 +372,13 @@ class CascadeRunner:
             patch_idx = np.zeros((0, self.num_points_patch), np.int64)
         n_patches = patch_idx.shape[0]
         if n_patches > 0:
+            # shuffle each patch's kNN-sorted index row (order-sensitivity:
+            # permuting indices permutes points and scatter targets together)
+            patch_idx = np.take_along_axis(
+                patch_idx,
+                np.argsort(self._fwd_rng.random(patch_idx.shape), axis=1),
+                axis=1,
+            )
             padded_idx = np.zeros(
                 (self.max_patches, self.num_points_patch), np.int64
             )

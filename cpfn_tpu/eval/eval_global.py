@@ -48,6 +48,12 @@ def build_argparser():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 matmul inputs (f32 accumulation) in the "
                    "GlobalSPFN forward — the TPU mixed-precision eval mode")
+    p.add_argument("--stored_point_order", action="store_true",
+                   help="feed clouds in stored .h5 point order instead of "
+                   "the default shuffled order. The network is point-order "
+                   "sensitive (FPS seeds at index 0, first-K ball query) and "
+                   "is trained on shuffled orders; stored instance-sorted "
+                   "order measurably degrades it (round-3 finding).")
     return p
 
 
@@ -99,13 +105,32 @@ def main(argv=None):
 
     table = ResultsTable()
     mious = []
+    # Point-order normalization: the forward runs on a shuffled point order
+    # (the training distribution — the network is order-sensitive through
+    # FPS/ball-query scan order), and every per-point output is unshuffled
+    # back to stored order before artifacts and metrics. Seeded per driver
+    # run for reproducibility. See also PatchSelectionDataset.__getitem__,
+    # which has always done this for the patch-selection eval.
+    perm_rng = np.random.RandomState(1789)
     for i in range(len(ds)):
         rec = ds[i]
         stem = os.path.basename(ds.files[i]).rsplit(".h5", 1)[0]
         out_dir = os.path.join(args.output_folder, stem)
         os.makedirs(out_dir, exist_ok=True)
-        P = jnp.asarray(rec["P"])[None]
+        n_pts = rec["P"].shape[0]
+        if args.stored_point_order:
+            perm = np.arange(n_pts)
+        else:
+            perm = perm_rng.permutation(n_pts)
+        inv = np.argsort(perm)
+        P = jnp.asarray(rec["P"][perm])[None]
         X, T, W, global_feat, point_feat = forward(params, state, P)
+        # back to stored order for artifacts, metrics, and feature gathers
+        X = jnp.asarray(np.asarray(X)[:, inv])
+        T = jnp.asarray(np.asarray(T)[:, inv])
+        W = jnp.asarray(np.asarray(W)[:, inv])
+        point_feat = jnp.asarray(np.asarray(point_feat)[:, inv])
+        P = jnp.asarray(rec["P"])[None]
         if args.evaluation_set == "test" and not args.skip_features:
             # [C, N] layout, as the reference artifacts
             np.save(

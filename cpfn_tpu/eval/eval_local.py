@@ -47,6 +47,10 @@ def build_argparser():
     p.add_argument("--bf16", action="store_true",
                    help="bf16 matmul inputs (f32 accumulation) in the "
                    "LocalSPFN forward — the TPU mixed-precision eval mode")
+    p.add_argument("--stored_point_order", action="store_true",
+                   help="feed patches in the stored kNN index order instead "
+                   "of the default shuffled order (the network is "
+                   "order-sensitive and trained on shuffled orders)")
     return p
 
 
@@ -109,6 +113,7 @@ def main(argv=None):
     # (VERDICT round 1: "no silent caps" — surfaced here and asserted ~0 by
     # tests/test_merging.py on realistic clouds)
     n_dropped_total = 0
+    perm_rng = np.random.RandomState(1789)
     for i, path in enumerate(files):
         stem = os.path.basename(path).rsplit(".h5", 1)[0]
         rec = read_spfn_hdf5(path, k_g, conf.test_data_noisy, shuffle=False)
@@ -121,6 +126,19 @@ def main(argv=None):
         if os.path.isfile(idx_file):
             patch_idx = np.load(idx_file)[: args.max_patches]
             n_patches = patch_idx.shape[0]
+            if not args.stored_point_order:
+                # per-patch point-order shuffle: heatmap indices are stored
+                # in kNN-sorted order, which the order-sensitive network was
+                # never trained on. Permuting the index rows permutes the
+                # gathered patch points AND the scatter targets coherently,
+                # so predictions stay point-aligned with no unshuffle.
+                patch_idx = np.take_along_axis(
+                    patch_idx,
+                    np.argsort(
+                        perm_rng.random(patch_idx.shape), axis=1
+                    ),
+                    axis=1,
+                )
             padded = np.zeros(
                 (args.max_patches, args.num_points_patch), np.int64
             )

@@ -39,6 +39,25 @@ def read_csv_list(csv_path: str, data_dir: str) -> list[str]:
     return [os.path.join(data_dir, n) for n in names]
 
 
+def permute_batch_points(batch: dict, key) -> dict:
+    """Apply an independent fresh point-order permutation to each record's
+    per-point arrays (P / normal_gt / I_gt stay jointly aligned; per-instance
+    arrays untouched). Traceable — used inside the staged-dataset train step."""
+    perm_key = key
+    n_pts = batch["P"].shape[1]
+    perms = jax.vmap(
+        lambda k: jax.random.permutation(k, n_pts)
+    )(jax.random.split(perm_key, batch["P"].shape[0]))
+    out = dict(batch)
+    for k in ("P", "normal_gt", "I_gt"):
+        if k in out:
+            ix = perms
+            if out[k].ndim == 3:
+                ix = perms[:, :, None]
+            out[k] = jnp.take_along_axis(out[k], ix, axis=1)
+    return out
+
+
 def _shard_slice(files: list, skip_n: int, first_n: int) -> list:
     """Rotate-and-take: skip `skip_n` records (mod corpus size), then take
     `first_n` wrapping around the end (-1 = all). Shards a corpus larger
@@ -222,6 +241,13 @@ def main(argv=None):
         @jax.jit
         def gather_step(params, state, opt_state, data, idx, step_i, rng):
             batch = {k: jnp.take(v, idx, axis=0) for k, v in data.items()}
+            # fresh point-order permutation per record visit: the staged
+            # arrays froze ONE permutation per record at staging time, but
+            # the host (non-staged) path re-shuffles every epoch and the
+            # networks are point-order sensitive — re-permuting in-graph
+            # restores that augmentation at negligible cost
+            perm_key, rng = jax.random.split(rng)
+            batch = permute_batch_points(batch, perm_key)
             return inner_step(params, state, opt_state, batch, step_i, rng)
 
         print(

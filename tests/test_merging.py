@@ -245,3 +245,36 @@ def test_fuse_cascade_fast_matches_device_path(rng):
     np.testing.assert_allclose(np.asarray(W0), np.asarray(W1), atol=1e-4)
     np.testing.assert_allclose(np.asarray(X0), np.asarray(X1), atol=1e-5)
     np.testing.assert_allclose(np.asarray(T0), np.asarray(T1), atol=1e-5)
+
+
+def test_fuse_cascade_invariant_to_coherent_row_permutation(rng):
+    """Permuting each patch's index row together with its per-point
+    predictions leaves the fused output unchanged — the invariant behind the
+    eval-time point-order shuffle (the network consumes shuffled orders; the
+    permuted index rows keep scatter targets aligned)."""
+    N, K_g, P, n, K_l, Q = 128, 6, 4, 32, 5, 4
+    spfn = rng.rand(N, K_g).astype(np.float32)
+    spfn_n = rng.randn(N, 3).astype(np.float32)
+    spfn_t = rng.rand(N, Q).astype(np.float32)
+    W = rng.rand(P, n, K_l).astype(np.float32)
+    X = rng.randn(P, n, 3).astype(np.float32)
+    T = rng.rand(P, n, Q).astype(np.float32)
+    idx = np.stack([rng.choice(N, n, replace=False) for _ in range(P)])
+
+    base = fuse_cascade(
+        jnp.array(W), jnp.array(X), jnp.array(T), jnp.array(idx),
+        spfn, spfn_n, spfn_t, K_g, K_l, out_width=K_g + K_l,
+    )
+    perms = np.stack([rng.permutation(n) for _ in range(P)])
+    take = lambda a: np.take_along_axis(
+        a, perms[..., None] if a.ndim == 3 else perms, axis=1
+    )
+    got = fuse_cascade(
+        jnp.array(take(W)), jnp.array(take(X)), jnp.array(take(T)),
+        jnp.array(take(idx)), spfn, spfn_n, spfn_t, K_g, K_l,
+        out_width=K_g + K_l,
+    )
+    for a, b in zip(base, got):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+        )

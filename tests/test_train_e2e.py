@@ -233,3 +233,38 @@ def test_shard_slice_rotation():
         covered.update(_shard_slice(files, 4 * seg, 4))
     assert covered == set(files)
     assert _shard_slice([], 5, 3) == []
+
+
+def test_permute_batch_points_alignment():
+    """The in-graph point-order augmentation permutes P, normal_gt and I_gt
+    with the SAME per-record permutation (the round-2 staging bug class:
+    decorrelated per-point arrays) and leaves per-instance arrays alone."""
+    import jax
+    import jax.numpy as jnp
+
+    from cpfn_tpu.train.train_spfn import permute_batch_points
+
+    B, N = 3, 16
+    rng = np.random.RandomState(0)
+    P = rng.randn(B, N, 3).astype(np.float32)
+    # encode point identity into the companion arrays
+    normal = np.stack([P[..., 0] * 2, P[..., 1] * 2, P[..., 2] * 2], axis=-1)
+    I_gt = np.argsort(P[..., 0], axis=1).argsort(axis=1).astype(np.int64)
+    T_gt = np.arange(B * 4).reshape(B, 4)
+    batch = {
+        "P": jnp.asarray(P), "normal_gt": jnp.asarray(normal),
+        "I_gt": jnp.asarray(I_gt), "T_gt": jnp.asarray(T_gt),
+    }
+    out = jax.jit(permute_batch_points)(batch, jax.random.PRNGKey(3))
+    P2 = np.asarray(out["P"])
+    # every record actually permuted (overwhelmingly likely for N=16)
+    assert not np.allclose(P2, P)
+    # alignment: companion arrays moved with their points
+    np.testing.assert_allclose(np.asarray(out["normal_gt"]), P2 * 2, rtol=1e-6)
+    rank = np.argsort(np.argsort(P2[..., 0], axis=1), axis=1)
+    np.testing.assert_array_equal(np.asarray(out["I_gt"]), rank)
+    # per-instance arrays untouched
+    np.testing.assert_array_equal(np.asarray(out["T_gt"]), T_gt)
+    # permutation property: same multiset of points per record
+    for b in range(B):
+        assert np.allclose(np.sort(P2[b], axis=0), np.sort(P[b], axis=0))
