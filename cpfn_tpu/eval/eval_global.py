@@ -20,6 +20,7 @@ import numpy as np
 
 from cpfn_tpu.config import Config
 from cpfn_tpu.data import GlobalSPFNDataset
+from cpfn_tpu.eval import ensemble
 from cpfn_tpu.fitting import factory
 from cpfn_tpu.metrics import hard_W_encoding
 from cpfn_tpu.nn import apply_pointnet2, init_pointnet2
@@ -54,6 +55,10 @@ def build_argparser():
                    "sensitive (FPS seeds at index 0, first-K ball query) and "
                    "is trained on shuffled orders; stored instance-sorted "
                    "order measurably degrades it (round-3 finding).")
+    p.add_argument("--n_shuffles", type=int, default=1,
+                   help="shuffle-ensemble width: forwards per cloud over "
+                   "independent point permutations, soft outputs averaged "
+                   "after relaxed-IoU slot alignment (eval/ensemble.py)")
     return p
 
 
@@ -118,18 +123,30 @@ def main(argv=None):
         out_dir = os.path.join(args.output_folder, stem)
         os.makedirs(out_dir, exist_ok=True)
         n_pts = rec["P"].shape[0]
-        if args.stored_point_order:
-            perm = np.arange(n_pts)
-        else:
-            perm = perm_rng.permutation(n_pts)
-        inv = np.argsort(perm)
-        P = jnp.asarray(rec["P"][perm])[None]
-        X, T, W, global_feat, point_feat = forward(params, state, P)
-        # back to stored order for artifacts, metrics, and feature gathers
-        X = jnp.asarray(np.asarray(X)[:, inv])
-        T = jnp.asarray(np.asarray(T)[:, inv])
-        W = jnp.asarray(np.asarray(W)[:, inv])
-        point_feat = jnp.asarray(np.asarray(point_feat)[:, inv])
+        # Shuffle ensemble (eval/ensemble.py): R forwards over independent
+        # point permutations, each unshuffled back to stored order, soft
+        # outputs averaged after relaxed-IoU slot alignment. R=1 reproduces
+        # the single-forward path exactly.
+        n_runs = max(1, args.n_shuffles)
+        acc = gf_sum = pf_sum = None
+        for r in range(n_runs):
+            if args.stored_point_order:
+                perm = np.arange(n_pts)
+            else:
+                perm = perm_rng.permutation(n_pts)
+            inv = jnp.asarray(np.argsort(perm))
+            P = jnp.asarray(rec["P"][perm])[None]
+            X, T, W, global_feat, point_feat = forward(params, state, P)
+            # back to stored order for artifacts, metrics, feature gathers
+            X, T, W, pf = (a[:, inv] for a in (X, T, W, point_feat))
+            if acc is None:
+                acc = ensemble.init_accumulator((X, T, W))
+                gf_sum, pf_sum = global_feat, pf
+            else:
+                acc = ensemble.average_run(acc, (X, T, W))
+                gf_sum, pf_sum = gf_sum + global_feat, pf_sum + pf
+        X, T, W = ensemble.finish_average(acc, n_runs)
+        global_feat, point_feat = gf_sum / n_runs, pf_sum / n_runs
         P = jnp.asarray(rec["P"])[None]
         if args.evaluation_set == "test" and not args.skip_features:
             # [C, N] layout, as the reference artifacts

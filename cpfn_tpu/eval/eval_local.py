@@ -19,6 +19,7 @@ import numpy as np
 
 from cpfn_tpu.config import Config
 from cpfn_tpu.data.hdf5 import read_spfn_hdf5
+from cpfn_tpu.eval import ensemble
 from cpfn_tpu.fitting import factory
 from cpfn_tpu.losses import compute_miou_loss, hungarian_matching_with_mask
 from cpfn_tpu.merging import fuse_cascade
@@ -51,6 +52,11 @@ def build_argparser():
                    help="feed patches in the stored kNN index order instead "
                    "of the default shuffled order (the network is "
                    "order-sensitive and trained on shuffled orders)")
+    p.add_argument("--n_shuffles", type=int, default=1,
+                   help="shuffle-ensemble width: LocalSPFN forwards per "
+                   "patch stack over independent point permutations, soft "
+                   "outputs averaged after relaxed-IoU slot alignment "
+                   "(eval/ensemble.py)")
     return p
 
 
@@ -126,27 +132,49 @@ def main(argv=None):
         if os.path.isfile(idx_file):
             patch_idx = np.load(idx_file)[: args.max_patches]
             n_patches = patch_idx.shape[0]
-            if not args.stored_point_order:
-                # per-patch point-order shuffle: heatmap indices are stored
-                # in kNN-sorted order, which the order-sensitive network was
-                # never trained on. Permuting the index rows permutes the
-                # gathered patch points AND the scatter targets coherently,
-                # so predictions stay point-aligned with no unshuffle.
-                patch_idx = np.take_along_axis(
-                    patch_idx,
-                    np.argsort(
-                        perm_rng.random(patch_idx.shape), axis=1
-                    ),
-                    axis=1,
-                )
             padded = np.zeros(
                 (args.max_patches, args.num_points_patch), np.int64
             )
             padded[:n_patches] = patch_idx
             mask = np.zeros((args.max_patches,), np.float32)
             mask[:n_patches] = 1.0
+            # Per-patch point-order shuffle: heatmap indices are stored in
+            # kNN-sorted order, which the order-sensitive network was never
+            # trained on. Permuting an index row permutes the gathered patch
+            # points AND the scatter targets coherently; each run's outputs
+            # are mapped back to the stored row order so the shuffle
+            # ensemble (eval/ensemble.py) averages in a common order. R=1
+            # reproduces the single-forward path exactly.
+            n_runs = max(1, args.n_shuffles)
+            acc = None
+            for r in range(n_runs):
+                if args.stored_point_order:
+                    rowperm = np.tile(
+                        np.arange(args.num_points_patch),
+                        (args.max_patches, 1),
+                    )
+                else:
+                    rowperm = np.argsort(
+                        perm_rng.random(padded.shape), axis=1
+                    )
+                idx_r = jnp.asarray(
+                    np.take_along_axis(padded, rowperm, axis=1), jnp.int32
+                )
+                X_p, T_p, W_p = local_forward(
+                    normalize_patches(P_hr, idx_r)
+                )
+                inv = jnp.asarray(np.argsort(rowperm, axis=1))
+                X_p, T_p, W_p = (
+                    jnp.take_along_axis(a, inv[..., None], axis=1)
+                    for a in (X_p, T_p, W_p)
+                )
+                acc = (
+                    ensemble.init_accumulator((X_p, T_p, W_p))
+                    if acc is None
+                    else ensemble.average_run(acc, (X_p, T_p, W_p))
+                )
+            X_p, T_p, W_p = ensemble.finish_average(acc, n_runs)
             idx_j = jnp.asarray(padded, jnp.int32)
-            X_p, T_p, W_p = local_forward(normalize_patches(P_hr, idx_j))
             W_f, X_f, T_f, n_valid = fuse_cascade(
                 W_p, X_p, T_p, idx_j,
                 spfn_labels, spfn_normals, spfn_type, k_g, k_l,

@@ -130,6 +130,7 @@ def test_full_pipeline(tmp_path, rng):
             "--path_patches", patches_dir, "--scale", "0.1",
             "--output_folder", spfn_out, "--evaluation_set", split,
             "--weights", os.path.join(tmp, "checkpoints", "globalspfn_final"),
+            "--n_shuffles", "2",  # exercises the shuffle-ensemble path
         ])
     stem0 = names[0].replace(".h5", "")
     for art in ("global_feat.npy", "local_feat.npy", "local_feat_full.npy",
@@ -211,6 +212,7 @@ def test_full_pipeline(tmp_path, rng):
         "--output_folder", local_out, "--scale", "0.1",
         "--weights", os.path.join(tmp, "checkpoints", "localspfn_0.1_final"),
         "--max_patches", "3", "--num_points_patch", str(N_PATCH),
+        "--n_shuffles", "2",  # exercises the shuffle-ensemble path
     ])
     assert os.path.isfile(os.path.join(local_out, "Results.csv"))
     assert os.path.isfile(os.path.join(local_out, "Results_Stats.csv"))
