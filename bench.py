@@ -42,6 +42,9 @@ WORST = os.environ.get("CPFN_BENCH_WORST", "") not in ("", "0")
 # mixed-precision eval recipe; quality parity vs f32 is validated in
 # QUALITY.md before this can become the default
 BF16 = os.environ.get("CPFN_BENCH_BF16", "") not in ("", "0")
+# shuffle-ensemble width in the single-dispatch cascade (eval/ensemble.py);
+# 1 = the single-forward serving path, >1 trades throughput for quality
+SHUFFLES = int(os.environ.get("CPFN_BENCH_SHUFFLES", "1"))
 CKPT_DIR = os.environ.get("CPFN_BENCH_CKPT_DIR", "data_synth/checkpoints")
 BASELINE_CLOUDS_PER_SEC_PER_CHIP = 50.0 / 8.0
 
@@ -116,6 +119,7 @@ def main():
         n_max_local_instances=K_L,
         num_points_patch=N_PATCH,
         max_patches=MAX_PATCHES,
+        n_shuffles=SHUFFLES,
     )
 
     log("warmup (compilation)...")
@@ -143,6 +147,8 @@ def main():
     suffix = ", trained+patchselec" if TRAINED else ""
     if WORST:
         suffix += ", worst-case 32 patches"
+    if SHUFFLES > 1:
+        suffix += f", ensemble x{SHUFFLES}"
     print(
         json.dumps(
             {

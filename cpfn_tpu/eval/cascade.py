@@ -54,6 +54,7 @@ class CascadeRunner:
         scale: float = 0.05,
         out_width: int | None = None,
         mesh=None,
+        n_shuffles: int = 1,
     ):
         self.global_model = global_model
         self.patchselec_model = patchselec_model
@@ -63,6 +64,11 @@ class CascadeRunner:
         self.num_points_patch = num_points_patch
         self.max_patches = max_patches
         self.scale = scale
+        # shuffle-ensemble width for the single-dispatch cascade: forwards
+        # per stage over independent point permutations, soft outputs
+        # averaged after relaxed-IoU slot alignment (eval/ensemble.py).
+        # R=1 (default) is the single-forward serving path.
+        self.n_shuffles = max(1, int(n_shuffles))
         # fixed fused-output width (device-side column compaction); defaults
         # to K_g + K_l slack so surviving clusters are rarely dropped
         self.out_width = (
@@ -220,33 +226,79 @@ class CascadeRunner:
 
             k_g2, k_l2 = self.n_max_global, self.n_max_local
 
+            from cpfn_tpu.eval import ensemble
+
+            n_runs = self.n_shuffles
+
             def cascade_device(lp, ls, gp, gs, P_hr, P_lr, pool_mask, key):
                 k_glob, k_patch, key = jax.random.split(key, 3)
+
                 # shuffled-order global forward (order-sensitivity, as in
-                # global_fwd above), unshuffled before fusion/outputs
-                gperm = jax.random.permutation(k_glob, P_hr.shape[0])
-                ginv = jnp.argsort(gperm)
-                out, _ = apply_pointnet2(
-                    gp, gs, global_model.cfg, P_hr[gperm][None], train=False
-                )
-                X_g, T_g, W_g = spfn_postprocess(out)
-                W_hard = hard_W_encoding(W_g)[0][ginv]
-                X_g, T_g = X_g[0][ginv], T_g[0][ginv]
+                # global_fwd above), unshuffled before fusion/outputs; with
+                # n_shuffles > 1 an in-graph ensemble over R permutations
+                # (soft W averaged after relaxed-IoU slot alignment)
+                def global_run(k):
+                    gperm = jax.random.permutation(k, P_hr.shape[0])
+                    ginv = jnp.argsort(gperm)
+                    out, _ = apply_pointnet2(
+                        gp, gs, global_model.cfg, P_hr[gperm][None],
+                        train=False,
+                    )
+                    X_g, T_g, W_g = spfn_postprocess(out)
+                    return (
+                        X_g[0][ginv], T_g[0][ginv], W_g[0][ginv],
+                        out["global_feat"][0], out["point_feat"][0][ginv],
+                    )
+
+                gkeys = jax.random.split(k_glob, n_runs)
+                X_g, T_g, W_g, g_feat, p_feat = global_run(gkeys[0])
+                if n_runs > 1:
+                    acc = ensemble.init_accumulator((X_g, T_g, W_g))
+                    for r in range(1, n_runs):
+                        X1, T1, W1, gf1, pf1 = global_run(gkeys[r])
+                        acc = ensemble.average_run(acc, (X1, T1, W1))
+                        g_feat, p_feat = g_feat + gf1, p_feat + pf1
+                    X_g, T_g, W_g = ensemble.finish_average(acc, n_runs)
+                    g_feat, p_feat = g_feat / n_runs, p_feat / n_runs
+                W_hard = hard_W_encoding(W_g[None])[0]
+
                 idx, valid, count = sample_patches_device(
                     P_lr, P_hr, pool_mask, key,
                     num_points_patch=self.num_points_patch,
                     max_number_patches=self.max_patches,
                 )
-                # one shared point-order shuffle for the kNN-sorted patch
-                # index rows (predictions stay aligned via the indices)
-                pperm = jax.random.permutation(k_patch, idx.shape[1])
-                idx = idx[:, pperm]
                 mask = valid.astype(jnp.float32)
-                patches = normalize_patches(P_hr, idx)
-                lout, _ = apply_pointnet2(
-                    lp, ls, local_model.cfg, patches, train=False
-                )
-                X_p, T_p, W_p = spfn_postprocess(lout)
+
+                # point-order shuffle of the kNN-sorted patch index rows
+                # (permuting an index row permutes points and scatter
+                # targets coherently). R=1 fuses directly in the shuffled
+                # order (exported patch_indices stay paired with the run's
+                # outputs); R>1 maps each run back to the base row order so
+                # the ensemble averages in a common order.
+                pkeys = jax.random.split(k_patch, n_runs)
+                if n_runs == 1:
+                    pperm = jax.random.permutation(pkeys[0], idx.shape[1])
+                    idx = idx[:, pperm]
+                    patches = normalize_patches(P_hr, idx)
+                    lout, _ = apply_pointnet2(
+                        lp, ls, local_model.cfg, patches, train=False
+                    )
+                    X_p, T_p, W_p = spfn_postprocess(lout)
+                else:
+                    def local_run(k):
+                        pperm = jax.random.permutation(k, idx.shape[1])
+                        pinv = jnp.argsort(pperm)
+                        patches = normalize_patches(P_hr, idx[:, pperm])
+                        lout, _ = apply_pointnet2(
+                            lp, ls, local_model.cfg, patches, train=False
+                        )
+                        X_p, T_p, W_p = spfn_postprocess(lout)
+                        return X_p[:, pinv], T_p[:, pinv], W_p[:, pinv]
+
+                    acc = ensemble.init_accumulator(local_run(pkeys[0]))
+                    for r in range(1, n_runs):
+                        acc = ensemble.average_run(acc, local_run(pkeys[r]))
+                    X_p, T_p, W_p = ensemble.finish_average(acc, n_runs)
                 W_f, X_f, T_f, n_valid = fuse_cascade_fast(
                     W_p, X_p, T_p, idx, W_hard, X_g, T_g,
                     k_g2, k_l2, out_width=self.out_width, patch_mask=mask,
@@ -259,8 +311,8 @@ class CascadeRunner:
                 return {
                     "W": W_f, "X": X_f, "T": T_f, "hard": hard,
                     "global_W": W_hard, "global_X": X_g, "global_T": T_g,
-                    "global_feat": out["global_feat"][0],
-                    "point_feat": out["point_feat"][0][ginv],
+                    "global_feat": g_feat,
+                    "point_feat": p_feat,
                     "patch_indices": idx, "patch_valid": valid,
                     "n_patches": count, "n_clusters": n_valid,
                 }

@@ -208,3 +208,46 @@ def test_cascade_all_device_single_dispatch(rng):
     clouds = [(P_hr, P_lr, pool_mask)] * 3
     results = list(runner.run_clouds_device(clouds, lag=2))
     assert len(results) == 3
+
+
+def test_cascade_single_dispatch_shuffle_ensemble(rng):
+    """n_shuffles > 1: the in-graph shuffle ensemble (eval/ensemble.py)
+    produces valid fused outputs through the single-dispatch cascade, on
+    both the oracle-pool and the patch-selection production paths."""
+    scene_cfg = SyntheticSceneConfig(
+        n_points=N_HR, n_max_instances=K_G, min_instances=3, max_instances=5,
+        n_gt_points_per_instance=64,
+    )
+    factory.register_primitives(list(scene_cfg.classes))
+    scene = make_synthetic_scene(rng, scene_cfg)
+    P_hr = scene["noisy_points"]
+    lr_idx = rng.choice(N_HR, N_LR, replace=False)
+    P_lr = P_hr[lr_idx]
+    counts = np.bincount(scene["I_gt"])
+    small = np.argmin(counts[: counts.nonzero()[0].max() + 1])
+    pool_mask = scene["I_gt"][lr_idx] == small
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    runner = CascadeRunner(
+        _bundle(keys[0], (3, Q, K_G)),
+        _bundle(keys[1], (2,)),
+        _bundle(keys[2], (3, Q, K_L)),
+        n_max_global_instances=K_G,
+        n_max_local_instances=K_L,
+        num_points_patch=N_PATCH,
+        max_patches=MAX_PATCHES,
+        n_shuffles=3,
+    )
+    out = runner.run_cloud_device(P_hr, P_lr, pool_mask=pool_mask)
+    assert int(out["n_patches"]) > 0
+    W = np.asarray(out["W"])
+    assert np.all(np.isfinite(W))
+    # averaged soft memberships still behave like memberships
+    assert W.min() >= -1e-6 and W.max() <= 1.0 + 1e-6
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["X"]), axis=1), 1.0, atol=1e-4
+    )
+    assert np.asarray(out["hard"]).shape == (N_HR,)
+    # production (patch-selection pool) path under the ensemble
+    out_ps = runner.run_cloud_device(P_hr, P_lr)
+    assert np.all(np.isfinite(np.asarray(out_ps["W"])))
