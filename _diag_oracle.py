@@ -6,7 +6,7 @@ fusion/sampling mechanics:
   oracle >> baseline  -> fusion fine; the local model is the whole gap
   oracle <= baseline  -> fusion / patch placement / data setup flaw
 
-Usage: python _diag_oracle.py [n_clouds]
+Usage: python _diag_oracle.py [n_clouds] [spfn_eval_dir]
 """
 
 import os
@@ -15,6 +15,7 @@ import sys
 import numpy as np
 
 n_clouds = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+SPFN_EVAL = sys.argv[2] if len(sys.argv) > 2 else "data_synth2/globalspfn_eval"
 sys.argv = sys.argv[:1]
 
 import jax
@@ -44,7 +45,7 @@ mious, base_mious, rows = [], [], []
 for i, stem in enumerate(stems):
     rec = read_spfn_hdf5(f"data_synth2/highres/{stem}.h5", k_g,
                          conf.test_data_noisy, shuffle=False)
-    spfn_dir = f"data_synth2/globalspfn_eval/{stem}"
+    spfn_dir = f"{SPFN_EVAL}/{stem}"
     spfn_labels = np.load(os.path.join(spfn_dir, "object_seg.npy"))
     spfn_normals = np.load(os.path.join(spfn_dir, "object_normals.npy"))
     spfn_type = np.load(os.path.join(spfn_dir, "object_type.npy"))

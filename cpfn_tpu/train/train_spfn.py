@@ -178,7 +178,9 @@ def main(argv=None):
             )
         return restored, at
 
-    if args.spfn_weights:
+    # resume wins over warm-start: a watchdog relaunch of a warm-started run
+    # must continue from the run's own snapshots, not restart at step 0
+    if args.spfn_weights and latest_step(ckpt_dir) is None:
         restored, at = _restore(args.spfn_weights)
         params, state = restored["params"], restored["state"]
         opt_state = restored["opt_state"]
