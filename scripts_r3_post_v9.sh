@@ -1,0 +1,76 @@
+#!/bin/bash
+# Round-3 post-v9 pipeline: everything queued on the TPU once the v9
+# LocalSPFN (g2 warm start) finishes its 60k-step schedule.
+#   1. 256-cloud cascade eval (v9) vs the g2 baseline  -> the headline table
+#   2. shuffle-ensemble R=4 measurement (local side)
+#   3. bf16 parity evals (local cascade + global)
+#   4. oracle decomposition against the g2 baseline (capability ceiling)
+#   5. trained / worst-case / bf16 production benches (VERDICT item 3+4)
+#   6. roofline/MFU table for PERF.md (VERDICT item 7)
+# TPU jobs strictly serialized; each stage is skipped if its artifact exists.
+set -x
+cd /root/repo
+
+V9=data_synth2/checkpoints_v9/localspfn_0.05
+COMMON_LOCAL="--config_file configs/config_synth2_local_v9.yml \
+  --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
+  --dir_spfn data_synth2/globalspfn_eval_g2 --dir_indices data_synth2/heatmaps \
+  --csv_dir data_synth2/Dataset --scale 0.05 --weights $V9"
+
+# 1) full 256-cloud cascade with v9; baseline CSVs reused from eval_out_g2
+#    (the baseline is v9-independent: same global artifacts, same eval path)
+if [ ! -f data_synth2/eval_out_v9/Results.csv ]; then
+  python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL \
+    --output_folder data_synth2/eval_out_v9 || exit 1
+fi
+cp data_synth2/eval_out_g2/Results_baseline.csv \
+   data_synth2/eval_out_g2/Results_Stats_baseline.csv data_synth2/eval_out_v9/
+python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9 \
+  | tee data_synth2/eval_out_v9/compare.txt
+
+# 2) ensemble R=4, local side (64 clouds: gain measurement, not the headline)
+if [ ! -f data_synth2/eval_out_v9ens/Results.csv ]; then
+  python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL --first_n 64 \
+    --n_shuffles 4 --output_folder data_synth2/eval_out_v9ens || exit 1
+fi
+
+# 3a) bf16 cascade parity (64 clouds vs the f32 numbers from stage 1)
+if [ ! -f data_synth2/eval_out_v9bf16/Results.csv ]; then
+  python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL --first_n 64 \
+    --bf16 --output_folder data_synth2/eval_out_v9bf16 || exit 1
+fi
+# 3b) bf16 global parity (64 clouds, fresh f32-vs-bf16 pair)
+if [ ! -f data_synth2/globalspfn_eval_bf16/Results.csv ]; then
+  python -m cpfn_tpu.eval.eval_global \
+    --config_file configs/config_synth2_global_v2.yml \
+    --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
+    --csv_dir data_synth2/Dataset --path_patches data_synth2/patches \
+    --scale 0.05 --output_folder data_synth2/globalspfn_eval_bf16 \
+    --evaluation_set test --skip_features --first_n 64 --bf16 || exit 1
+fi
+
+# 4) oracle ceiling vs the g2 baseline
+python _diag_oracle.py 64 data_synth2/globalspfn_eval_g2 \
+  | tee data_synth2/eval_out_v9/oracle_g2.txt
+
+# 5) production benches (refresh the bench checkpoint dir first)
+rm -rf data_synth2/checkpoints_bench_r3
+mkdir -p data_synth2/checkpoints_bench_r3
+cp -r data_synth2/checkpoints_g2/globalspfn_final \
+      data_synth2/checkpoints_bench_r3/globalspfn
+cp -r data_synth2/checkpoints/patchselec_0.05 \
+      data_synth2/checkpoints_bench_r3/patchselec_0.05
+cp -r $V9 data_synth2/checkpoints_bench_r3/localspfn_0.05
+B=data_synth2/checkpoints_bench_r3
+CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B python bench.py \
+  2> >(tail -4 >&2) | tee /tmp/bench_trained.json
+CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_WORST=1 python bench.py \
+  2> >(tail -4 >&2) | tee /tmp/bench_worst.json
+CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_BF16=1 python bench.py \
+  2> >(tail -4 >&2) | tee /tmp/bench_bf16.json
+python bench.py 2> >(tail -4 >&2) | tee /tmp/bench_oracle.json
+
+# 6) roofline table (f32 + bf16)
+python -m cpfn_tpu.utils.roofline | tee /tmp/roofline_f32.json
+python -m cpfn_tpu.utils.roofline --bf16 | tee /tmp/roofline_bf16.json
+echo "POST-V9 PIPELINE DONE"
