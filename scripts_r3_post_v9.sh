@@ -68,7 +68,13 @@ CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_WORST=1 python bench.py \
   2> >(tail -4 >&2) | tee /tmp/bench_worst.json
 CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_BF16=1 python bench.py \
   2> >(tail -4 >&2) | tee /tmp/bench_bf16.json
-python bench.py 2> >(tail -4 >&2) | tee /tmp/bench_oracle.json
+python bench.py 2> /tmp/bench_oracle_run1.err | tee /tmp/bench_oracle.json
+tail -4 /tmp/bench_oracle_run1.err >&2
+# cold-start experiment (VERDICT item 6): identical fresh process right
+# after — if the persistent compilation cache works on this runtime, run 2's
+# warmup should collapse; if not, the warmup floor is remote-compile time
+python bench.py 2> /tmp/bench_oracle_run2.err | tee /tmp/bench_oracle2.json
+grep -h "warmup done" /tmp/bench_oracle_run1.err /tmp/bench_oracle_run2.err
 
 # 6) roofline table (f32 + bf16)
 python -m cpfn_tpu.utils.roofline | tee /tmp/roofline_f32.json
