@@ -8,6 +8,11 @@ import sys
 import h5py
 import numpy as np
 import jax
+
+if os.environ.get("CPFN_FORCE_CPU"):
+    # must land before backend init; the axon sitecustomize overrides the
+    # JAX_PLATFORMS env var, so the config update is the only reliable lever
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 
 from cpfn_tpu.config import Config
@@ -72,10 +77,16 @@ for name, pat in [
     for s in range(0, len(files), 16):
         chunk = files[s : s + 16]
         P, L = [], []
+        shuf = np.random.RandomState(0)
         for fp in chunk:
             with h5py.File(fp, "r") as f:
-                P.append(f["noisy_points"][:])
-                L.append(f["gt_labels"][:])
+                pts = f["noisy_points"][:]
+                lab = f["gt_labels"][:]
+            # match the fixed eval paths: the stored kNN order is out of the
+            # training distribution for these order-sensitive networks
+            perm = shuf.permutation(len(pts))
+            P.append(pts[perm])
+            L.append(lab[perm])
         W = fwd(jnp.asarray(np.stack(P), jnp.float32))[2]
         hard = np.asarray(W).argmax(-1)
         for i in range(len(chunk)):

@@ -1,0 +1,96 @@
+"""The GT-free serving CLI (cpfn_tpu/serve.py): raw clouds -> fused
+segmentation artifacts through the single-dispatch cascade. The reference
+has no such entry point (its eval drivers all require labeled records)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+
+from cpfn_tpu import serve  # noqa: E402
+from cpfn_tpu.data import SyntheticSceneConfig, make_synthetic_scene  # noqa: E402
+from cpfn_tpu.models import (  # noqa: E402
+    GlobalSPFN,
+    LocalSPFN,
+    PatchSelectionNet,
+)
+
+TINY = dict(
+    sa1_points=16, sa2_points=8, sa1_samples=8, sa2_samples=8,
+    sa1_mlp=(16, 16), sa2_mlp=(16, 16), sa3_mlp=(16, 32),
+    fp1_mlp=(16, 16), fp2_mlp=(16, 16), fp3_mlp=(16, 16), fc_dim=16,
+)
+N_HR, N_LR, N_PATCH, MAX_P, K_G, K_L = 512, 128, 128, 4, 6, 5
+
+
+@pytest.fixture(scope="module")
+def ckpt_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("serve_ckpts")
+    key = jax.random.PRNGKey(0)
+    GlobalSPFN(key, n_max_instances=K_G, **TINY).save(str(d / "globalspfn"))
+    PatchSelectionNet(key, **TINY).save(str(d / "patchselec_0.05"))
+    LocalSPFN(key, n_max_instances=K_L, **TINY).save(str(d / "localspfn_0.05"))
+    return str(d)
+
+
+def _write_clouds(tmp_path, rng):
+    scene_cfg = SyntheticSceneConfig(
+        n_points=N_HR, n_max_instances=K_G, min_instances=2, max_instances=3,
+        n_gt_points_per_instance=32,
+    )
+    in_dir = tmp_path / "clouds"
+    in_dir.mkdir()
+    # .npy exact size, plus a SMALLER .xyz cloud (exercises padding)
+    s1 = make_synthetic_scene(rng, scene_cfg)
+    np.save(in_dir / "a.npy", s1["noisy_points"].astype(np.float32))
+    s2 = make_synthetic_scene(rng, scene_cfg)
+    np.savetxt(in_dir / "b.xyz", s2["noisy_points"][: N_HR - 37])
+    return str(in_dir)
+
+
+def _common_args(ckpt_dir, in_dir, out_dir):
+    return [
+        "--checkpoint_dir", ckpt_dir, "--input", in_dir,
+        "--output_folder", out_dir,
+        "--n_points_highres", str(N_HR), "--n_points_lowres", str(N_LR),
+        "--num_points_patch", str(N_PATCH), "--max_patches", str(MAX_P),
+        "--n_max_global_instances", str(K_G),
+        "--n_max_local_instances", str(K_L),
+        "--lowres", "random",
+        "--model_overrides", json.dumps({k: list(v) if isinstance(v, tuple)
+                                         else v for k, v in TINY.items()}),
+    ]
+
+
+def test_serve_writes_artifacts(tmp_path, rng, ckpt_dir):
+    in_dir = _write_clouds(tmp_path, rng)
+    out_dir = str(tmp_path / "out")
+    serve.main(_common_args(ckpt_dir, in_dir, out_dir) + ["--fit_json"])
+
+    for stem, n in (("a", N_HR), ("b", N_HR - 37)):
+        seg = np.load(os.path.join(out_dir, f"{stem}_seg.npy"))
+        assert seg.shape == (n,) and seg.dtype.kind == "i"
+        normals = np.load(os.path.join(out_dir, f"{stem}_normals.npy"))
+        assert normals.shape == (n, 3)
+        norms = np.linalg.norm(normals, axis=1)
+        np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+        types = np.load(os.path.join(out_dir, f"{stem}_type.npy"))
+        assert types.shape == (n,) and set(np.unique(types)) <= set(range(4))
+        with open(os.path.join(out_dir, f"{stem}_primitives.json")) as f:
+            recs = json.load(f)
+        assert recs and all("type" in r for r in recs)
+
+
+def test_serve_cloud_parallel_matches_artifact_schema(tmp_path, rng, ckpt_dir):
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    in_dir = _write_clouds(tmp_path, rng)
+    out_dir = str(tmp_path / "out_par")
+    serve.main(
+        _common_args(ckpt_dir, in_dir, out_dir) + ["--cloud_parallel"]
+    )
+    seg = np.load(os.path.join(out_dir, "a_seg.npy"))
+    assert seg.shape == (N_HR,)
