@@ -45,13 +45,18 @@ def read_cloud(path: str) -> np.ndarray:
 
 
 def pad_to(points: np.ndarray, n: int, rng: np.random.RandomState):
-    """Fixed-shape batching: crop (random subset) or pad (resampled points)
-    to exactly `n` points. Returns (padded [n,3], n_original)."""
+    """Fixed-shape batching: crop (uniform subset) or pad (resampled points)
+    to exactly `n` points. Returns (padded [n,3], n_valid, sel_indices):
+    outputs rows [:n_valid] correspond to input rows sel_indices (identity
+    for the pad case, the subset for the crop case)."""
     m = len(points)
-    if m >= n:
-        return points[rng.choice(m, n, replace=False)] if m > n else points, m
+    if m > n:
+        sel = np.sort(rng.choice(m, n, replace=False))
+        return points[sel], n, sel
+    if m == n:
+        return points, m, np.arange(m)
     extra = points[rng.choice(m, n - m, replace=True)]
-    return np.concatenate([points, extra], 0), m
+    return np.concatenate([points, extra], 0), m, np.arange(m)
 
 
 def main(argv=None):
@@ -148,20 +153,26 @@ def main(argv=None):
         )
 
     def prep(path):
-        P_hr, n_orig = pad_to(
+        P_hr, n_valid, sel = pad_to(
             read_cloud(path), args.n_points_highres, rng
         )
         if args.lowres == "fps":
             lr_idx = np.asarray(fps(jnp.asarray(P_hr)[None])[0])
         else:
             lr_idx = rng.choice(len(P_hr), args.n_points_lowres, replace=False)
-        return P_hr, P_hr[lr_idx], n_orig
+        return P_hr, P_hr[lr_idx], (n_valid, sel)
 
-    def write_outputs(path, out, n_orig):
+    def write_outputs(path, out, meta):
+        n_valid, sel = meta
         stem = os.path.splitext(os.path.basename(path))[0]
-        hard = np.asarray(out["hard"])[:n_orig]
-        X = np.asarray(out["X"])[:n_orig]
-        T_pt = np.asarray(out["T"])[:n_orig]
+        hard = np.asarray(out["hard"])[:n_valid]
+        X = np.asarray(out["X"])[:n_valid]
+        T_pt = np.asarray(out["T"])[:n_valid]
+        if len(sel) != n_valid or sel[-1] != n_valid - 1:
+            # cropped cloud: outputs cover the subsampled rows; persist the
+            # mapping back into the original cloud
+            np.save(os.path.join(args.output_folder, f"{stem}_indices.npy"),
+                    sel.astype(np.int64))
         np.save(os.path.join(args.output_folder, f"{stem}_seg.npy"), hard)
         np.save(os.path.join(args.output_folder, f"{stem}_normals.npy"), X)
         np.save(
@@ -171,8 +182,8 @@ def main(argv=None):
         if args.fit_json:
             from cpfn_tpu.fitting.api import fit_cloud_to_json
 
-            P = np.asarray(read_cloud(path), np.float32)[:n_orig]
-            recs = fit_cloud_to_json(P[: len(hard)], hard, X, classes=classes)
+            P = np.asarray(read_cloud(path), np.float32)[sel[:n_valid]]
+            recs = fit_cloud_to_json(P, hard, X, classes=classes)
             with open(
                 os.path.join(args.output_folder, f"{stem}_primitives.json"),
                 "w",

@@ -48,6 +48,12 @@ def _write_clouds(tmp_path, rng):
     np.save(in_dir / "a.npy", s1["noisy_points"].astype(np.float32))
     s2 = make_synthetic_scene(rng, scene_cfg)
     np.savetxt(in_dir / "b.xyz", s2["noisy_points"][: N_HR - 37])
+    # a cloud LARGER than the serving shape (exercises the crop path)
+    s3 = make_synthetic_scene(rng, scene_cfg)
+    big = np.concatenate(
+        [s3["noisy_points"], s3["noisy_points"][:50]], 0
+    ).astype(np.float32)
+    np.save(in_dir / "c.npy", big)
     return str(in_dir)
 
 
@@ -82,6 +88,14 @@ def test_serve_writes_artifacts(tmp_path, rng, ckpt_dir):
         with open(os.path.join(out_dir, f"{stem}_primitives.json")) as f:
             recs = json.load(f)
         assert recs and all("type" in r for r in recs)
+
+    # cropped cloud: outputs cover N_HR subsampled rows + an index mapping
+    seg_c = np.load(os.path.join(out_dir, "c_seg.npy"))
+    assert seg_c.shape == (N_HR,)
+    idx_c = np.load(os.path.join(out_dir, "c_indices.npy"))
+    assert idx_c.shape == (N_HR,)
+    assert len(np.unique(idx_c)) == N_HR and idx_c.max() < N_HR + 50
+    assert np.all(np.diff(idx_c) > 0)
 
 
 def test_serve_cloud_parallel_matches_artifact_schema(tmp_path, rng, ckpt_dir):
