@@ -45,6 +45,8 @@ BF16 = os.environ.get("CPFN_BENCH_BF16", "") not in ("", "0")
 # shuffle-ensemble width in the single-dispatch cascade (eval/ensemble.py);
 # 1 = the single-forward serving path, >1 trades throughput for quality
 SHUFFLES = int(os.environ.get("CPFN_BENCH_SHUFFLES", "1"))
+# fused eval-mode Pallas MLP chains (ops/fused_mlp.py) in all three forwards
+FUSED = os.environ.get("CPFN_BENCH_FUSED", "") not in ("", "0")
 CKPT_DIR = os.environ.get("CPFN_BENCH_CKPT_DIR", "data_synth/checkpoints")
 BASELINE_CLOUDS_PER_SEC_PER_CHIP = 50.0 / 8.0
 
@@ -98,6 +100,7 @@ def main():
         cfg = PointNet2Config(
             output_sizes=sizes,
             compute_dtype="bfloat16" if BF16 else None,
+            fused_eval_mlp=FUSED,
         )
         params, state = init_pointnet2(key, cfg)
         if TRAINED:
@@ -149,6 +152,8 @@ def main():
         suffix += ", worst-case 32 patches"
     if SHUFFLES > 1:
         suffix += f", ensemble x{SHUFFLES}"
+    if FUSED:
+        suffix += ", fused-mlp"
     print(
         json.dumps(
             {

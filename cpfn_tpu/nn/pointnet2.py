@@ -69,6 +69,12 @@ class PointNet2Config:
     # GlobalSPFN — batch statistics of the patch distribution wash out the
     # transferred membership structure (QUALITY.md round 2).
     bn_eval_mode: bool = False
+    # Eval-only fused Pallas MLP chains (ops/fused_mlp.py): keeps the
+    # channel-expanded grouped activations in VMEM instead of HBM — the
+    # LocalSPFN forward is bytes-bound (roofline), so this targets its
+    # dominant traffic. Ignored under train=True (BN batch stats need the
+    # XLA path); validated bit-for-bit against it in tests/test_fused_mlp.py
+    fused_eval_mlp: bool = False
 
     @property
     def glob_feature_dim(self) -> int:
@@ -158,6 +164,7 @@ def _set_abstraction(
     fps_impl,
     axis_name=None,
     compute_dtype=None,
+    fused_eval=False,
 ):
     """One SA block: FPS -> ball query -> group -> MLP -> max-pool over K."""
     idx = ops.farthest_point_sample(pos, num_points, impl=fps_impl)
@@ -169,6 +176,15 @@ def _set_abstraction(
         grouped = jnp.concatenate([grouped_feats, grouped_pos], axis=-1)
     else:
         grouped = grouped_pos
+    if fused_eval:
+        from cpfn_tpu.ops.fused_mlp import fold_bn_eval, fused_mlp_maxpool
+
+        B, S, K, C = grouped.shape
+        pooled = fused_mlp_maxpool(
+            grouped.reshape(B, S * K, C), fold_bn_eval(params, state),
+            K, compute_dtype=compute_dtype,
+        )
+        return new_pos, pooled, state
     out, new_state = _mlp_apply(
         params, state, grouped, train=train, momentum=momentum,
         axis_name=axis_name, compute_dtype=compute_dtype,
@@ -177,11 +193,20 @@ def _set_abstraction(
 
 
 def _group_all(params, state, pos, feats, *, train, momentum, axis_name=None,
-               compute_dtype=None):
+               compute_dtype=None, fused_eval=False):
     """The final SA block: single group over all points (positions first)."""
     grouped = pos[:, None]  # [B, 1, N, 3]
     if feats is not None:
         grouped = jnp.concatenate([grouped, feats[:, None]], axis=-1)
+    if fused_eval:
+        from cpfn_tpu.ops.fused_mlp import fold_bn_eval, fused_mlp_maxpool
+
+        B, _, N, C = grouped.shape
+        pooled = fused_mlp_maxpool(
+            grouped.reshape(B, N, C), fold_bn_eval(params, state),
+            N, compute_dtype=compute_dtype,
+        )
+        return pooled, state  # [B, 1, C']
     out, new_state = _mlp_apply(
         params, state, grouped, train=train, momentum=momentum,
         axis_name=axis_name, compute_dtype=compute_dtype,
@@ -201,6 +226,7 @@ def _feature_propagation(
     momentum,
     axis_name=None,
     compute_dtype=None,
+    fused_eval=False,
 ):
     """One FP block: 3-NN inverse-distance interpolation + skip + MLP."""
     N = pos1.shape[1]
@@ -216,6 +242,12 @@ def _feature_propagation(
         x = jnp.concatenate([feats1, interpolated], axis=-1)
     else:
         x = interpolated
+    if fused_eval:
+        from cpfn_tpu.ops.fused_mlp import fold_bn_eval, fused_mlp_pointwise
+
+        return fused_mlp_pointwise(
+            x, fold_bn_eval(params, state), compute_dtype=compute_dtype
+        ), state
     return _mlp_apply(
         params, state, x, train=train, momentum=momentum,
         axis_name=axis_name, compute_dtype=compute_dtype,
@@ -261,7 +293,7 @@ def apply_pointnet2(
     bn_train = train and not cfg.bn_eval_mode
     kw = dict(
         train=bn_train, momentum=bn_momentum, axis_name=axis_name,
-        compute_dtype=cdt,
+        compute_dtype=cdt, fused_eval=cfg.fused_eval_mlp and not train,
     )
     new_state = {}
     l1_pos, l1_feats, new_state["sa1"] = _set_abstraction(

@@ -83,7 +83,7 @@ def _report(name, flops, nbytes, secs, peak_tflops, peak_gbs):
     return row
 
 
-def _build_graphs(which, bf16):
+def _build_graphs(which, bf16, fused=False):
     import jax
     import jax.numpy as jnp
 
@@ -98,7 +98,8 @@ def _build_graphs(which, bf16):
     out = {}
 
     if "local_fwd" in which:
-        cfg = PointNet2Config(output_sizes=(3, 4, 21), compute_dtype=dtype)
+        cfg = PointNet2Config(output_sizes=(3, 4, 21), compute_dtype=dtype,
+                              fused_eval_mlp=fused)
         params, state = init_pointnet2(jax.random.PRNGKey(0), cfg)
 
         def local_fwd(params, state, pts):
@@ -107,6 +108,42 @@ def _build_graphs(which, bf16):
 
         pts = jnp.asarray(rng.randn(32, 8192, 3), jnp.float32)
         out["local_fwd"] = (local_fwd, (params, state, pts))
+
+    if "local_sa1" in which or "local_enc" in which:
+        # truncated LocalSPFN forwards: marginal cost per phase comes from
+        # differences (dec = local_fwd - local_enc, sa2+sa3 = enc - sa1) —
+        # localizes the bytes-bound traffic before any kernel work
+        from cpfn_tpu.nn.pointnet2 import _group_all, _set_abstraction
+
+        cfg = PointNet2Config(output_sizes=(3, 4, 21), compute_dtype=dtype)
+        params, state = init_pointnet2(jax.random.PRNGKey(0), cfg)
+        pts = jnp.asarray(rng.randn(32, 8192, 3), jnp.float32)
+        cdt = jnp.dtype(dtype) if dtype else None
+        kw = dict(train=False, momentum=0.5, compute_dtype=cdt)
+
+        def sa1(params, state, pos):
+            return _set_abstraction(
+                params["sa1"], state["sa1"], pos, None,
+                num_points=cfg.sa1_points, radius=cfg.sa1_radius,
+                num_samples=cfg.sa1_samples, fps_impl=cfg.fps_impl, **kw,
+            )[:2]
+
+        def enc(params, state, pos):
+            l1_pos, l1_feats = sa1(params, state, pos)
+            l2_pos, l2_feats, _ = _set_abstraction(
+                params["sa2"], state["sa2"], l1_pos, l1_feats,
+                num_points=cfg.sa2_points, radius=cfg.sa2_radius,
+                num_samples=cfg.sa2_samples, fps_impl=cfg.fps_impl, **kw,
+            )
+            l3_feats, _ = _group_all(
+                params["sa3"], state["sa3"], l2_pos, l2_feats, **kw
+            )
+            return l2_pos, l2_feats, l3_feats
+
+        if "local_sa1" in which:
+            out["local_sa1"] = (sa1, (params, state, pts))
+        if "local_enc" in which:
+            out["local_enc"] = (enc, (params, state, pts))
 
     if "global_fwd" in which:
         cfg = PointNet2Config(output_sizes=(3, 4, 28), compute_dtype=dtype)
@@ -152,10 +189,14 @@ def _build_graphs(which, bf16):
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument(
-        "--graphs", default="local_fwd,global_fwd,train_step",
-        help="comma-separated subset of local_fwd,global_fwd,train_step",
+        "--graphs", default="local_fwd,local_sa1,local_enc,global_fwd,train_step",
+        help="comma-separated subset of local_fwd,local_sa1,local_enc,"
+             "global_fwd,train_step",
     )
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--fused", action="store_true",
+                   help="fused eval MLP Pallas kernels (ops/fused_mlp.py) "
+                        "in the forward graphs")
     p.add_argument("--repeats", type=int, default=20)
     p.add_argument("--peak-tflops", type=float, default=None,
                    help="peak TFLOP/s (default: v5e bf16 197, f32 98.5)")
@@ -172,7 +213,7 @@ def main(argv=None):
     )
     which = [g.strip() for g in args.graphs.split(",") if g.strip()]
     rows = []
-    for name, (fn, fargs) in _build_graphs(which, args.bf16).items():
+    for name, (fn, fargs) in _build_graphs(which, args.bf16, args.fused).items():
         jitted = jax.jit(fn)
         compiled = jitted.lower(*fargs).compile()
         flops, nbytes = _cost(compiled)

@@ -53,6 +53,11 @@ fi
 python _diag_oracle.py 64 data_synth2/globalspfn_eval_g2 \
   | tee data_synth2/eval_out_v9/oracle_g2.txt
 
+# 4b) Mosaic-lowering validation of all Pallas kernels (incl. the new fused
+#     eval MLP chains) on hardware, before any fused measurements
+CPFN_TEST_PLATFORM=axon python -m pytest tests/test_pallas_tpu.py -q \
+  2>&1 | tail -3
+
 # 5) production benches (refresh the bench checkpoint dir first)
 rm -rf data_synth2/checkpoints_bench_r3
 mkdir -p data_synth2/checkpoints_bench_r3
@@ -76,7 +81,15 @@ tail -4 /tmp/bench_oracle_run1.err >&2
 python bench.py 2> /tmp/bench_oracle_run2.err | tee /tmp/bench_oracle2.json
 grep -h "warmup done" /tmp/bench_oracle_run1.err /tmp/bench_oracle_run2.err
 
-# 6) roofline table (f32 + bf16)
+# 6) roofline table (f32 + bf16 + fused variants of the local forward)
 python -m cpfn_tpu.utils.roofline | tee /tmp/roofline_f32.json
 python -m cpfn_tpu.utils.roofline --bf16 | tee /tmp/roofline_bf16.json
+python -m cpfn_tpu.utils.roofline --graphs local_fwd --fused \
+  | tee /tmp/roofline_fused.json
+python -m cpfn_tpu.utils.roofline --graphs local_fwd --fused --bf16 \
+  | tee /tmp/roofline_fused_bf16.json
+
+# 7) fused-kernel bench (only meaningful if 4b passed — inspect before use)
+CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_FUSED=1 python bench.py \
+  2> >(tail -4 >&2) | tee /tmp/bench_fused.json
 echo "POST-V9 PIPELINE DONE"

@@ -56,3 +56,46 @@ def test_ball_query_pallas_matches_xla(rng):
         a = np.asarray(ops.ball_query(P, Q, r, K, impl="xla"))
         b = np.asarray(ball_query_pallas(P, Q, r, K))
         np.testing.assert_array_equal(a, b)
+
+
+def test_fused_mlp_matches_xla_on_tpu(rng):
+    """Mosaic-lowering parity for the fused eval MLP kernels at the real SA1
+    shape (interpret-mode logic parity lives in test_fused_mlp.py)."""
+    from cpfn_tpu.nn.pointnet2 import _mlp_apply, _mlp_init
+    from cpfn_tpu.ops.fused_mlp import (
+        fold_bn_eval,
+        fused_mlp_maxpool,
+        fused_mlp_pointwise,
+    )
+
+    B, S, K, C = 8, 512, 64, 3
+    params, state = _mlp_init(jax.random.PRNGKey(0), C, (64, 64, 128))
+    x = jnp.asarray(rng.randn(B, S, K, C), jnp.float32)
+    ref, _ = _mlp_apply(params, state, x, train=False, momentum=0.5)
+    ref = jnp.max(ref, axis=2)
+    got = fused_mlp_maxpool(
+        x.reshape(B, S * K, C), fold_bn_eval(params, state), K
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+
+    params, state = _mlp_init(jax.random.PRNGKey(1), 131, (256, 256))
+    xp = jnp.asarray(rng.randn(2, 8192, 131), jnp.float32)
+    refp, _ = _mlp_apply(params, state, xp, train=False, momentum=0.5)
+    gotp = fused_mlp_pointwise(xp, fold_bn_eval(params, state))
+    np.testing.assert_allclose(np.asarray(gotp), np.asarray(refp), atol=1e-3)
+
+
+def test_fused_forward_parity_on_tpu(rng):
+    """Full LocalSPFN-config forward, fused vs XLA path, on hardware."""
+    from cpfn_tpu.nn import PointNet2Config, apply_pointnet2, init_pointnet2
+
+    cfg = PointNet2Config(output_sizes=(3, 4, 21))
+    cfg_fused = PointNet2Config(output_sizes=(3, 4, 21), fused_eval_mlp=True)
+    params, state = init_pointnet2(jax.random.PRNGKey(2), cfg)
+    pts = jnp.asarray(rng.randn(4, 8192, 3), jnp.float32)
+    ref, _ = apply_pointnet2(params, state, cfg, pts, train=False)
+    got, _ = apply_pointnet2(params, state, cfg_fused, pts, train=False)
+    for a, b in zip(ref["heads"], got["heads"]):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-3, rtol=1e-3
+        )
