@@ -33,6 +33,12 @@ if [ ! -f data_synth2/eval_out_v9ens/Results.csv ]; then
   python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL --first_n 64 \
     --n_shuffles 4 --output_folder data_synth2/eval_out_v9ens || exit 1
 fi
+python -m cpfn_tpu.eval.eval_baseline \
+  --config_file configs/config_synth2_local_v9.yml \
+  --highres_dataset data_synth2/highres \
+  --dir_spfn data_synth2/globalspfn_eval_g2 --csv_dir data_synth2/Dataset \
+  --output_folder data_synth2/eval_out_v9ens --first_n 64 || exit 1
+python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9ens
 
 # 3a) bf16 cascade parity (64 clouds vs the f32 numbers from stage 1)
 if [ ! -f data_synth2/eval_out_v9bf16/Results.csv ]; then
@@ -92,4 +98,26 @@ python -m cpfn_tpu.utils.roofline --graphs local_fwd --fused --bf16 \
 # 7) fused-kernel bench (only meaningful if 4b passed — inspect before use)
 CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_FUSED=1 python bench.py \
   2> >(tail -4 >&2) | tee /tmp/bench_fused.json
+
+# 8) ensemble-vs-ensemble (64 clouds): R=4 on BOTH sides — global artifacts
+#    regenerated with the shuffle ensemble, then baseline + cascade on them
+if [ ! -f data_synth2/globalspfn_eval_g2ens/Results.csv ]; then
+  python -m cpfn_tpu.eval.eval_global \
+    --config_file configs/config_synth2_global_v2.yml \
+    --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
+    --csv_dir data_synth2/Dataset --path_patches data_synth2/patches \
+    --scale 0.05 --output_folder data_synth2/globalspfn_eval_g2ens \
+    --evaluation_set test --skip_features --first_n 64 --n_shuffles 4 || exit 1
+fi
+python -m cpfn_tpu.eval.eval_baseline \
+  --config_file configs/config_synth2_local_v9.yml \
+  --highres_dataset data_synth2/highres \
+  --dir_spfn data_synth2/globalspfn_eval_g2ens --csv_dir data_synth2/Dataset \
+  --output_folder data_synth2/eval_out_bothens --first_n 64 || exit 1
+python -m cpfn_tpu.eval.eval_local --config_file configs/config_synth2_local_v9.yml \
+  --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
+  --dir_spfn data_synth2/globalspfn_eval_g2ens --dir_indices data_synth2/heatmaps \
+  --csv_dir data_synth2/Dataset --scale 0.05 --weights $V9 --first_n 64 \
+  --n_shuffles 4 --output_folder data_synth2/eval_out_bothens || exit 1
+python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_bothens
 echo "POST-V9 PIPELINE DONE"
