@@ -156,9 +156,10 @@ def fused_mlp_pointwise(x: jax.Array, folded, compute_dtype=None) -> jax.Array:
     B, N, cin = x.shape
     widths = [w.shape[1] for w, _ in folded]
     tile_n = min(_tile_rows(cin, widths, 1), N)
-    while N % tile_n:
-        tile_n //= 2
-    grid = (B, N // tile_n)
+    n_pad = -(-N // tile_n) * tile_n
+    if n_pad != N:  # e.g. the 100k-pt global cloud: pad rows, slice back
+        x = jnp.pad(x, ((0, 0), (0, n_pad - N), (0, 0)))
+    grid = (B, n_pad // tile_n)
     kernel = functools.partial(
         _pointwise_kernel,
         compute_dtype=jnp.dtype(compute_dtype) if compute_dtype else None,
@@ -175,6 +176,6 @@ def fused_mlp_pointwise(x: jax.Array, folded, compute_dtype=None) -> jax.Array:
         out_specs=pl.BlockSpec((1, tile_n, widths[-1]),
                                lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, N, widths[-1]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, n_pad, widths[-1]), jnp.float32),
     )(x, *wb_args)
-    return out
+    return out[:, :N]

@@ -146,7 +146,8 @@ def _build_graphs(which, bf16, fused=False):
             out["local_enc"] = (enc, (params, state, pts))
 
     if "global_fwd" in which:
-        cfg = PointNet2Config(output_sizes=(3, 4, 28), compute_dtype=dtype)
+        cfg = PointNet2Config(output_sizes=(3, 4, 28), compute_dtype=dtype,
+                              fused_eval_mlp=fused)
         params, state = init_pointnet2(jax.random.PRNGKey(1), cfg)
 
         def global_fwd(params, state, pts):
