@@ -20,7 +20,7 @@ COMMON_LOCAL="--config_file configs/config_synth2_local_v9.yml \
 # 1) full 256-cloud cascade with v9; baseline CSVs reused from eval_out_g2
 #    (the baseline is v9-independent: same global artifacts, same eval path)
 if [ ! -f data_synth2/eval_out_v9/Results.csv ]; then
-  python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL \
+  timeout 2400 python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL \
     --output_folder data_synth2/eval_out_v9 || exit 1
 fi
 cp data_synth2/eval_out_g2/Results_baseline.csv \
@@ -30,7 +30,7 @@ python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9 \
 
 # 2) ensemble R=4, local side (64 clouds: gain measurement, not the headline)
 if [ ! -f data_synth2/eval_out_v9ens/Results.csv ]; then
-  python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL --first_n 64 \
+  timeout 2400 python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL --first_n 64 \
     --n_shuffles 4 --output_folder data_synth2/eval_out_v9ens || exit 1
 fi
 python -m cpfn_tpu.eval.eval_baseline \
@@ -42,7 +42,7 @@ python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9ens
 
 # 3a) bf16 cascade parity (64 clouds vs the f32 numbers from stage 1)
 if [ ! -f data_synth2/eval_out_v9bf16/Results.csv ]; then
-  python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL --first_n 64 \
+  timeout 2400 python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL --first_n 64 \
     --bf16 --output_folder data_synth2/eval_out_v9bf16 || exit 1
 fi
 # 3b) bf16 global parity (64 clouds, fresh f32-vs-bf16 pair)
@@ -56,12 +56,12 @@ if [ ! -f data_synth2/globalspfn_eval_bf16/Results.csv ]; then
 fi
 
 # 4) oracle ceiling vs the g2 baseline
-python _diag_oracle.py 64 data_synth2/globalspfn_eval_g2 \
-  | tee data_synth2/eval_out_v9/oracle_g2.txt
+timeout 2400 python _diag_oracle.py 64 data_synth2/globalspfn_eval_g2 \
+  | tee data_synth2/eval_out_v9/oracle_g2.txt || echo "oracle stage timed out"
 
 # 4b) Mosaic-lowering validation of all Pallas kernels (incl. the new fused
 #     eval MLP chains) on hardware, before any fused measurements
-CPFN_TEST_PLATFORM=axon python -m pytest tests/test_pallas_tpu.py -q \
+timeout 1800 env CPFN_TEST_PLATFORM=axon python -m pytest tests/test_pallas_tpu.py -q \
   2>&1 | tail -3
 
 # 5) production benches (refresh the bench checkpoint dir first)
@@ -73,30 +73,30 @@ cp -r data_synth2/checkpoints/patchselec_0.05 \
       data_synth2/checkpoints_bench_r3/patchselec_0.05
 cp -r $V9 data_synth2/checkpoints_bench_r3/localspfn_0.05
 B=data_synth2/checkpoints_bench_r3
-CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B python bench.py \
+timeout 1800 env CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B python bench.py \
   2> >(tail -4 >&2) | tee /tmp/bench_trained.json
-CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_WORST=1 python bench.py \
+timeout 1800 env CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_WORST=1 python bench.py \
   2> >(tail -4 >&2) | tee /tmp/bench_worst.json
-CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_BF16=1 python bench.py \
+timeout 1800 env CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_BF16=1 python bench.py \
   2> >(tail -4 >&2) | tee /tmp/bench_bf16.json
-python bench.py 2> /tmp/bench_oracle_run1.err | tee /tmp/bench_oracle.json
+timeout 1800 python bench.py 2> /tmp/bench_oracle_run1.err | tee /tmp/bench_oracle.json
 tail -4 /tmp/bench_oracle_run1.err >&2
 # cold-start experiment (VERDICT item 6): identical fresh process right
 # after — if the persistent compilation cache works on this runtime, run 2's
 # warmup should collapse; if not, the warmup floor is remote-compile time
-python bench.py 2> /tmp/bench_oracle_run2.err | tee /tmp/bench_oracle2.json
+timeout 1800 python bench.py 2> /tmp/bench_oracle_run2.err | tee /tmp/bench_oracle2.json
 grep -h "warmup done" /tmp/bench_oracle_run1.err /tmp/bench_oracle_run2.err
 
 # 6) roofline table (f32 + bf16 + fused variants of the local forward)
-python -m cpfn_tpu.utils.roofline | tee /tmp/roofline_f32.json
-python -m cpfn_tpu.utils.roofline --bf16 | tee /tmp/roofline_bf16.json
-python -m cpfn_tpu.utils.roofline --graphs local_fwd --fused \
+timeout 2400 python -m cpfn_tpu.utils.roofline | tee /tmp/roofline_f32.json
+timeout 2400 python -m cpfn_tpu.utils.roofline --bf16 | tee /tmp/roofline_bf16.json
+timeout 1800 python -m cpfn_tpu.utils.roofline --graphs local_fwd --fused \
   | tee /tmp/roofline_fused.json
-python -m cpfn_tpu.utils.roofline --graphs local_fwd --fused --bf16 \
+timeout 1800 python -m cpfn_tpu.utils.roofline --graphs local_fwd --fused --bf16 \
   | tee /tmp/roofline_fused_bf16.json
 
 # 7) fused-kernel bench (only meaningful if 4b passed — inspect before use)
-CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_FUSED=1 python bench.py \
+timeout 1800 env CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_FUSED=1 python bench.py \
   2> >(tail -4 >&2) | tee /tmp/bench_fused.json
 
 # 8) ensemble-vs-ensemble (64 clouds): R=4 on BOTH sides — global artifacts
