@@ -61,43 +61,60 @@ timeout 2400 python _diag_oracle.py 64 data_synth2/globalspfn_eval_g2 \
 
 # 4b) Mosaic-lowering validation of all Pallas kernels (incl. the new fused
 #     eval MLP chains) on hardware, before any fused measurements
-timeout 1800 env CPFN_TEST_PLATFORM=axon python -m pytest tests/test_pallas_tpu.py -q \
-  2>&1 | tail -3
+if [ ! -f data_synth2/perf_r3/pallas_tpu_green ]; then
+  timeout 1800 env CPFN_TEST_PLATFORM=axon python -m pytest tests/test_pallas_tpu.py -q \
+    2>&1 | tee /tmp/pallas_tpu_r3.log | tail -3
+  if grep -qE "^[0-9]+ passed" /tmp/pallas_tpu_r3.log && ! grep -q failed /tmp/pallas_tpu_r3.log; then
+    mkdir -p data_synth2/perf_r3
+    cp /tmp/pallas_tpu_r3.log data_synth2/perf_r3/pallas_tpu_green
+  fi
+fi
 
-# 5) production benches (refresh the bench checkpoint dir first)
-rm -rf data_synth2/checkpoints_bench_r3
-mkdir -p data_synth2/checkpoints_bench_r3
-cp -r data_synth2/checkpoints_g2/globalspfn_final \
-      data_synth2/checkpoints_bench_r3/globalspfn
-cp -r data_synth2/checkpoints/patchselec_0.05 \
-      data_synth2/checkpoints_bench_r3/patchselec_0.05
-cp -r $V9 data_synth2/checkpoints_bench_r3/localspfn_0.05
+# 5) production benches (refresh the bench checkpoint dir first).
+#    Results persist under data_synth2/perf_r3/ and each is skipped on a
+#    watchdog relaunch once its JSON is non-empty (a killed run leaves an
+#    empty/partial tee file, which re-runs).
+PERF=data_synth2/perf_r3
+mkdir -p $PERF
+if [ ! -d data_synth2/checkpoints_bench_r3 ]; then
+  mkdir -p data_synth2/checkpoints_bench_r3
+  cp -r data_synth2/checkpoints_g2/globalspfn_final \
+        data_synth2/checkpoints_bench_r3/globalspfn
+  cp -r data_synth2/checkpoints/patchselec_0.05 \
+        data_synth2/checkpoints_bench_r3/patchselec_0.05
+  cp -r $V9 data_synth2/checkpoints_bench_r3/localspfn_0.05
+fi
 B=data_synth2/checkpoints_bench_r3
-timeout 1800 env CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B python bench.py \
-  2> >(tail -4 >&2) | tee /tmp/bench_trained.json
-timeout 1800 env CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_WORST=1 python bench.py \
-  2> >(tail -4 >&2) | tee /tmp/bench_worst.json
-timeout 1800 env CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_BF16=1 python bench.py \
-  2> >(tail -4 >&2) | tee /tmp/bench_bf16.json
-timeout 1800 python bench.py 2> /tmp/bench_oracle_run1.err | tee /tmp/bench_oracle.json
-tail -4 /tmp/bench_oracle_run1.err >&2
+bench_stage() {  # bench_stage OUTNAME ENV...
+  local out=$PERF/$1; shift
+  if grep -q '"metric"' "$out" 2>/dev/null; then return 0; fi
+  timeout 1800 env "$@" python bench.py 2> "$out.err" | tee "$out"
+  tail -4 "$out.err" >&2
+}
+bench_stage bench_trained.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B
+bench_stage bench_worst.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_WORST=1
+bench_stage bench_bf16.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_BF16=1
+bench_stage bench_oracle.json CPFN_DUMMY=0
 # cold-start experiment (VERDICT item 6): identical fresh process right
 # after — if the persistent compilation cache works on this runtime, run 2's
 # warmup should collapse; if not, the warmup floor is remote-compile time
-timeout 1800 python bench.py 2> /tmp/bench_oracle_run2.err | tee /tmp/bench_oracle2.json
-grep -h "warmup done" /tmp/bench_oracle_run1.err /tmp/bench_oracle_run2.err
+bench_stage bench_oracle2.json CPFN_DUMMY=0
+grep -h "warmup done" $PERF/bench_oracle.json.err $PERF/bench_oracle2.json.err
 
 # 6) roofline table (f32 + bf16 + fused variants of the local forward)
-timeout 2400 python -m cpfn_tpu.utils.roofline | tee /tmp/roofline_f32.json
-timeout 2400 python -m cpfn_tpu.utils.roofline --bf16 | tee /tmp/roofline_bf16.json
-timeout 1800 python -m cpfn_tpu.utils.roofline --graphs local_fwd --fused \
-  | tee /tmp/roofline_fused.json
-timeout 1800 python -m cpfn_tpu.utils.roofline --graphs local_fwd --fused --bf16 \
-  | tee /tmp/roofline_fused_bf16.json
+roofline_stage() {  # roofline_stage OUTNAME ARGS...
+  local out=$PERF/$1; shift
+  if [ -s "$out" ]; then return 0; fi
+  timeout 2400 python -m cpfn_tpu.utils.roofline "$@" | tee "$out.part" \
+    && mv "$out.part" "$out"
+}
+roofline_stage roofline_f32.json
+roofline_stage roofline_bf16.json --bf16
+roofline_stage roofline_fused.json --graphs local_fwd --fused
+roofline_stage roofline_fused_bf16.json --graphs local_fwd --fused --bf16
 
 # 7) fused-kernel bench (only meaningful if 4b passed — inspect before use)
-timeout 1800 env CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_FUSED=1 python bench.py \
-  2> >(tail -4 >&2) | tee /tmp/bench_fused.json
+bench_stage bench_fused.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_FUSED=1
 
 # 8) ensemble-vs-ensemble (64 clouds): R=4 on BOTH sides — global artifacts
 #    regenerated with the shuffle ensemble, then baseline + cascade on them
