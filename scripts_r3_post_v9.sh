@@ -137,4 +137,29 @@ python -m cpfn_tpu.eval.eval_local --config_file configs/config_synth2_local_v9.
   --csv_dir data_synth2/Dataset --scale 0.05 --weights $V9 --first_n 64 \
   --n_shuffles 4 --output_folder data_synth2/eval_out_bothens || exit 1
 python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_bothens
+
+# 9) OVERNIGHT: LocalSPFN extension 60k->90k (probe said the model was still
+#    LR-schedule-limited at 60k), then the 256-cloud cascade on the extended
+#    model. Resumes in a copied dir so v9@60k survives max_to_keep pruning.
+if [ ! -d data_synth2/checkpoints_v9e90 ]; then
+  cp -r data_synth2/checkpoints_v9 data_synth2/checkpoints_v9e90
+fi
+timeout 14400 python -m cpfn_tpu.train.train_spfn \
+  --config_file configs/config_synth2_local_v9e90.yml \
+  --csv_dir data_synth2/Dataset --path_patches data_synth2/patches \
+  --network LocalSPFN --scale 0.05 --device_dataset \
+  --max_steps 90000 --snapshot_steps 2000 --log_every 20 || exit 1
+if [ ! -f data_synth2/eval_out_v9e90/Results.csv ]; then
+  timeout 2400 python -m cpfn_tpu.eval.eval_local \
+    --config_file configs/config_synth2_local_v9e90.yml \
+    --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
+    --dir_spfn data_synth2/globalspfn_eval_g2 --dir_indices data_synth2/heatmaps \
+    --csv_dir data_synth2/Dataset --scale 0.05 \
+    --weights data_synth2/checkpoints_v9e90/localspfn_0.05 \
+    --output_folder data_synth2/eval_out_v9e90 || exit 1
+fi
+cp data_synth2/eval_out_g2/Results_baseline.csv \
+   data_synth2/eval_out_g2/Results_Stats_baseline.csv data_synth2/eval_out_v9e90/
+python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9e90 \
+  | tee data_synth2/eval_out_v9e90/compare.txt
 echo "POST-V9 PIPELINE DONE"
