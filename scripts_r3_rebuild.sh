@@ -1,0 +1,126 @@
+#!/bin/bash
+# Round-3 FULL REBUILD: the session host was reset and data_synth2/ (corpus,
+# checkpoints, eval artifacts) was wiped. The corpus is deterministic
+# (per-cloud seeds, gen_corpus.py), so this regenerates the identical corpus
+# and re-derives the whole round-3 state: g2 GlobalSPFN -> PatchSelection ->
+# eval artifacts -> v9 LocalSPFN (g2 warm start) -> 256-cloud headline ->
+# post-v9 benches (scripts_r3_post_v9.sh). Every stage is skip-if-done so a
+# watchdog/recovery relaunch resumes where it left off. TPU jobs serialized;
+# the CPU-only patch lane (sampling + creation) runs concurrently, niced.
+set -x
+cd /root/repo
+mkdir -p _rebuild
+D=data_synth2
+
+# ---- S0: corpus (CPU, deterministic; resumable via existing .h5 files)
+if [ ! -f _rebuild/corpus.done ]; then
+  python -m cpfn_tpu.data.gen_corpus --out $D --n_train 6144 --n_test 256 \
+    || exit 1
+  n=$(ls $D/highres | wc -l)
+  [ "$n" -eq 6400 ] || { echo "corpus incomplete: $n/6400"; exit 1; }
+  touch _rebuild/corpus.done
+fi
+
+# ---- S1: lowres FPS subsample, device path (TPU), both splits
+if [ ! -f _rebuild/lowres.done ]; then
+  for split in train test; do
+    timeout 7200 python -m cpfn_tpu.preprocess.lowres \
+      --path_highres $D/highres --path_lowres $D/lowres \
+      --path_split_file $D/Dataset/${split}_models.csv \
+      --device --skip_existing || exit 1
+  done
+  touch _rebuild/lowres.done
+fi
+
+# ---- S2: CPU patch lane (GT patch indices + per-patch h5), background.
+# pidfile-guarded so a watchdog relaunch of this script doesn't double-spawn.
+if [ ! -f _rebuild/patches.done ]; then
+  if ! { [ -f _rebuild/patches.pid ] && kill -0 "$(cat _rebuild/patches.pid)" 2>/dev/null; }; then
+    nohup nice -n 10 bash -c "
+      python -m cpfn_tpu.preprocess.patch_sampling \
+        --path_highres $D/highres --path_lowres $D/lowres \
+        --path_patches $D/patches --path_split_file $D/Dataset/train_models.csv \
+        --scale 0.05 --skip_existing &&
+      python -m cpfn_tpu.preprocess.patch_creation \
+        --path_highres $D/highres --path_lowres $D/lowres \
+        --path_patches $D/patches --path_split_file $D/Dataset/train_models.csv \
+        --scale 0.05 --no_features --skip_existing &&
+      touch _rebuild/patches.done
+    " >> _rebuild/patches.log 2>&1 &
+    echo $! > _rebuild/patches.pid
+  fi
+fi
+
+# ---- S3: GlobalSPFN g2 (fixed 200k-sample staircase, 6144 clouds, 60k steps)
+if [ ! -d $D/checkpoints_g2/globalspfn_final ]; then
+  timeout 28800 python -m cpfn_tpu.train.train_spfn \
+    --config_file configs/config_synth2_global_v2.yml \
+    --lowres_dataset $D/lowres --csv_dir $D/Dataset \
+    --network GlobalSPFN --device_dataset \
+    --max_steps 60000 --snapshot_steps 2000 --log_every 20 || exit 1
+fi
+
+# ---- S4: test-split global eval artifacts (object_seg/normals/type)
+if [ ! -f $D/globalspfn_eval_g2/Results.csv ]; then
+  timeout 7200 python -m cpfn_tpu.eval.eval_global \
+    --config_file configs/config_synth2_global_v2.yml \
+    --lowres_dataset $D/lowres --highres_dataset $D/highres \
+    --csv_dir $D/Dataset --path_patches $D/patches --scale 0.05 \
+    --output_folder $D/globalspfn_eval_g2 --evaluation_set test \
+    --skip_features || exit 1
+fi
+
+# ---- S5: PatchSelection 20k steps
+if [ ! -f _rebuild/patchselec.done ]; then
+  timeout 14400 python -m cpfn_tpu.train.train_patchselec \
+    --config_file configs/config_synth2_patchselec.yml \
+    --lowres_dataset $D/lowres --highres_dataset $D/highres \
+    --csv_dir $D/Dataset --scale 0.05 --max_steps 20000 || exit 1
+  touch _rebuild/patchselec.done
+fi
+
+# ---- S6: test-split heatmaps (patch-pool indices for the cascade eval)
+if [ ! -f _rebuild/heatmaps.done ]; then
+  timeout 7200 python -m cpfn_tpu.eval.eval_patchselec \
+    --config_file configs/config_synth2_patchselec.yml \
+    --lowres_dataset $D/lowres --highres_dataset $D/highres \
+    --heatmap_folder $D/heatmaps --csv_dir $D/Dataset --scale 0.05 || exit 1
+  touch _rebuild/heatmaps.done
+fi
+
+# ---- S7: global-only baseline on the 256-cloud test split
+if [ ! -f $D/eval_out_g2/Results_baseline.csv ]; then
+  timeout 7200 python -m cpfn_tpu.eval.eval_baseline \
+    --config_file configs/config_synth2_local_v9.yml \
+    --highres_dataset $D/highres --dir_spfn $D/globalspfn_eval_g2 \
+    --csv_dir $D/Dataset --output_folder $D/eval_out_g2 || exit 1
+fi
+
+# ---- S8: wait for the patch lane, then build the v9 warm start (CPU)
+while [ ! -f _rebuild/patches.done ]; do
+  # if the patch lane died, exit nonzero so the watchdog relaunch respawns it
+  kill -0 "$(cat _rebuild/patches.pid)" 2>/dev/null || exit 1
+  sleep 30
+done
+if [ ! -d $D/warmstart/localspfn_from_g2 ]; then
+  python -m cpfn_tpu.train.make_warmstart \
+    --global_config configs/config_synth2_global_v2.yml \
+    --local_config configs/config_synth2_local_v9.yml \
+    --global_weights $D/checkpoints_g2/globalspfn_final \
+    --out $D/warmstart/localspfn_from_g2 || exit 1
+fi
+
+# ---- S9: LocalSPFN v9 (g2 warm start, frozen-BN recipe, 60k steps)
+if [ ! -d $D/checkpoints_v9/localspfn_0.05_final ]; then
+  timeout 28800 python -m cpfn_tpu.train.train_spfn \
+    --config_file configs/config_synth2_local_v9.yml \
+    --csv_dir $D/Dataset --path_patches $D/patches \
+    --network LocalSPFN --scale 0.05 --device_dataset \
+    --spfn_weights $D/warmstart/localspfn_from_g2 \
+    --max_steps 60000 --snapshot_steps 2000 --log_every 20 || exit 1
+fi
+
+# ---- S10+: everything downstream of v9 (256-cloud headline, ensembles,
+# bf16 parity, oracle, benches, roofline, 90k extension)
+bash scripts_r3_post_v9.sh
+echo "REBUILD PIPELINE DONE"

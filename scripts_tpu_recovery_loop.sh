@@ -9,6 +9,7 @@ cd /root/repo
 PIPE=${1:-scripts_r3_post_v9.sh}
 LOG=${2:-/tmp/post_v9.log}
 DONE_MARK=${3:-"POST-V9 PIPELINE DONE"}
+STALL=${4:-600}
 
 while :; do
   if timeout 150 python - <<'EOF' >/dev/null 2>&1
@@ -19,7 +20,7 @@ float(jnp.ones((2, 2)).sum())
 EOF
   then
     echo "[recovery] TPU reachable at $(date -u +%H:%M:%S); launching $PIPE" >> "$LOG"
-    bash scripts_run_with_watchdog.sh "$LOG" 600 20 -- bash "$PIPE"
+    bash scripts_run_with_watchdog.sh "$LOG" "$STALL" 20 -- bash "$PIPE"
     if grep -q "$DONE_MARK" "$LOG"; then
       echo "[recovery] pipeline complete" >> "$LOG"
       exit 0
