@@ -151,3 +151,76 @@ def test_full_network_parity(rng, monkeypatch):
         np.asarray(out["global_feat"]), outs[3][:, :, 0].numpy(),
         atol=2e-3, rtol=1e-3,
     )
+
+
+@needs_ref
+def test_import_torch_state_dict(tmp_path):
+    """The .pth importer (utils/import_torch.py) must produce exactly the
+    pytrees the module-based port produces — same treedef, identical values —
+    for both head-bearing and features_extractor reference models."""
+    import torch
+
+    from cpfn_tpu.utils.import_torch import (
+        load_torch_state_dict,
+        pytrees_from_state_dict,
+    )
+
+    torch.manual_seed(0)
+    ref = PN2.PointNet2(dim_input=3, dim_pos=3, output_sizes=[3, 4, 7])
+    ref.eval()
+    pth = str(tmp_path / "globalspfn_module.pth")
+    torch.save(ref.state_dict(), pth)
+
+    params, state = pytrees_from_state_dict(load_torch_state_dict(pth))
+    cfg = PointNet2Config(output_sizes=(3, 4, 7))
+    p_ref, s_ref = _port_weights(ref, cfg)
+    for got, want in ((params, p_ref), (state, s_ref)):
+        gl, gt = jax.tree_util.tree_flatten(got)
+        wl, wt = jax.tree_util.tree_flatten(want)
+        assert gt == wt
+        for g, w in zip(gl, wl):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    # features_extractor models save no bn1/fc2 -> no heads in the import
+    fx = PN2.PointNet2(dim_input=3, dim_pos=3, features_extractor=True)
+    pth_fx = str(tmp_path / "features.pth")
+    torch.save(fx.state_dict(), pth_fx)
+    p_fx, s_fx = pytrees_from_state_dict(load_torch_state_dict(pth_fx))
+    assert "heads" not in p_fx and "bn1" not in p_fx and "bn1" not in s_fx
+
+
+@needs_ref
+def test_export_torch_round_trip(tmp_path):
+    """export_torch must emit a state_dict the reference module accepts with
+    strict=True, and import(export(x)) must be the identity."""
+    import torch
+
+    from cpfn_tpu.utils.export_torch import state_dict_from_pytrees
+    from cpfn_tpu.utils.import_torch import pytrees_from_state_dict
+
+    torch.manual_seed(1)
+    ref = PN2.PointNet2(dim_input=3, dim_pos=3, output_sizes=[3, 4, 7])
+    cfg = PointNet2Config(output_sizes=(3, 4, 7))
+    params, state = _port_weights(ref, cfg)
+
+    sd = state_dict_from_pytrees(params, state)
+    # the reference's own loading contract (training_SPFN.py:74)
+    ref2 = PN2.PointNet2(dim_input=3, dim_pos=3, output_sizes=[3, 4, 7])
+    ref2.load_state_dict(
+        {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()},
+        strict=True,
+    )
+    for (k1, v1), (k2, v2) in zip(
+        ref.state_dict().items(), ref2.state_dict().items()
+    ):
+        assert k1 == k2
+        if "num_batches_tracked" not in k1:
+            np.testing.assert_allclose(v1.numpy(), v2.numpy(), rtol=1e-6)
+
+    p2, s2 = pytrees_from_state_dict(sd)
+    for got, want in ((p2, params), (s2, state)):
+        gl, gt = jax.tree_util.tree_flatten(got)
+        wl, wt = jax.tree_util.tree_flatten(want)
+        assert gt == wt
+        for g, w in zip(gl, wl):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
