@@ -76,13 +76,21 @@ def test_fused_mlp_matches_xla_on_tpu(rng):
     got = fused_mlp_maxpool(
         x.reshape(B, S * K, C), fold_bn_eval(params, state), K
     )
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-3)
+    # XLA and Mosaic lower f32 dots to different MXU bf16-pass schedules, so
+    # the two correct paths differ at the ~4e-3 level on O(1) activations
+    # (measured on v5e: 0.5% of elements past 1e-3, max abs 3.4e-3) — same
+    # tolerance as the full-forward parity test below.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-3, rtol=1e-3
+    )
 
     params, state = _mlp_init(jax.random.PRNGKey(1), 131, (256, 256))
     xp = jnp.asarray(rng.randn(2, 8192, 131), jnp.float32)
     refp, _ = _mlp_apply(params, state, xp, train=False, momentum=0.5)
     gotp = fused_mlp_pointwise(xp, fold_bn_eval(params, state))
-    np.testing.assert_allclose(np.asarray(gotp), np.asarray(refp), atol=1e-3)
+    np.testing.assert_allclose(
+        np.asarray(gotp), np.asarray(refp), atol=5e-3, rtol=1e-3
+    )
 
 
 def test_fused_forward_parity_on_tpu(rng):
