@@ -326,3 +326,91 @@ def _farthest_point_sample_pallas_batched(
         scratch_shapes=[pltpu.VMEM((B, n_pad), jnp.float32)],
     )(x, y, z)
     return out
+
+
+def _fps_seeded_kernel(
+    x_ref, y_ref, z_ref, init_ref, out_ref, dist_ref, *,
+    num_samples, n_pad, n_points
+):
+    """Seeded-init FPS for the preprocessing subsample
+    (`preprocess/lowres.py`): the running min-distance buffer starts from a
+    caller-provided plane (1e6 everywhere, 0 at the per-label seed points —
+    the reference's global-FPS re-init, `preprocessing_sampling_lowres.py:
+    20-26`) and the first pick is the argmax of that init, not index 0.
+    Distances are squared where the host/XLA paths use euclidean; argmax is
+    invariant under the monotone map, so selections agree up to f32
+    near-ties (same caveat as `lowres._device_fps_fn`). No near-origin skip:
+    validity is positional (real point vs lane padding).
+    Refs: x/y/z/init [1, R, 128] VMEM; out [1, m] i32 SMEM;
+    dist [R, 128] f32 scratch.
+    """
+    R = x_ref.shape[1]
+    x = x_ref[0]
+    y = y_ref[0]
+    z = z_ref[0]
+    flat_iota = (
+        lax.broadcasted_iota(jnp.int32, (R, _LANES), 0) * _LANES
+        + lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
+    )
+    valid = flat_iota < n_points
+    dist_ref[:] = init_ref[0]
+    masked0 = jnp.where(valid, dist_ref[:], -1.0)
+    m0 = jnp.max(masked0)
+    first = jnp.min(jnp.where(masked0 == m0, flat_iota, n_pad))
+    out_ref[0, 0] = first
+
+    def body(j, last):
+        sel = flat_iota == last
+        px = jnp.sum(jnp.where(sel, x, 0.0))
+        py = jnp.sum(jnp.where(sel, y, 0.0))
+        pz = jnp.sum(jnp.where(sel, z, 0.0))
+        d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
+        new_dist = jnp.minimum(dist_ref[:], d)
+        dist_ref[:] = new_dist
+        masked = jnp.where(valid, new_dist, -1.0)
+        m = jnp.max(masked)
+        nxt = jnp.min(jnp.where(masked == m, flat_iota, n_pad))
+        out_ref[0, j] = nxt
+        return nxt
+
+    lax.fori_loop(1, num_samples, body, first)
+
+
+def farthest_point_sample_seeded_pallas(
+    points: jax.Array, init_mind: jax.Array, num_samples: int
+) -> jax.Array:
+    """[N, 3] points + [N] f32 initial min-distances -> [num_samples] i32.
+
+    The whole `num_samples`-step sequential chain runs in one program with
+    the coordinate planes and distance state VMEM-resident — the XLA
+    fori_loop equivalent in `lowres._device_fps_fn` dispatches the same
+    chain as ~m dependent device ops (~0.75 s at 100k->8192 over the
+    tunneled runtime vs ~0.1 s here).
+    """
+    N, _ = points.shape
+    n_pad = -(-N // _LANES) * _LANES
+    R = n_pad // _LANES
+    coords = jnp.moveaxis(points, -1, 0)  # [3, N]
+    if n_pad != N:
+        coords = jnp.pad(coords, ((0, 0), (0, n_pad - N)))
+        init_mind = jnp.pad(
+            init_mind, (0, n_pad - N), constant_values=-1.0
+        )
+    planes = coords.reshape(3, 1, R, _LANES)
+    init = init_mind.astype(jnp.float32).reshape(1, R, _LANES)
+    kernel = functools.partial(
+        _fps_seeded_kernel,
+        num_samples=num_samples, n_pad=n_pad, n_points=N,
+    )
+    spec = pl.BlockSpec((1, R, _LANES), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(1,),
+        in_specs=[spec, spec, spec, spec],
+        out_specs=pl.BlockSpec((1, num_samples), lambda b: (0, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((1, num_samples), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((R, _LANES), jnp.float32)],
+    )(planes[0], planes[1], planes[2], init)
+    return out[0]

@@ -23,17 +23,32 @@ from cpfn_tpu import native
 
 
 @functools.lru_cache(maxsize=None)
-def _device_fps_fn(n_points: int, nb_query_points: int, max_labels: int):
+def _device_fps_fn(
+    n_points: int, nb_query_points: int, max_labels: int, impl: str = "auto"
+):
     """One jitted graph: per-label seeded FPS (padded to `max_labels`
     iterations, masked by the traced label count) followed by global FPS for
     `nb_query_points` more samples. Mirrors the host preprocessing kernels
     (`native.fps_host` / `fps_per_label_host`: euclidean distance, 1e6
     min-dist init, seeds zeroed, ties -> lowest index) in f32 on device —
     near-tie selections may differ from the float64 host path, which only
-    perturbs which points the subsample keeps, not its validity."""
+    perturbs which points the subsample keeps, not its validity.
+
+    The global phase runs as the seeded Pallas kernel on TPU (the whole
+    sequential chain in one VMEM-resident program) and as an XLA fori_loop
+    elsewhere; `impl` ('auto'/'pallas'/'xla', or env CPFN_LOWRES_FPS)
+    overrides. The ~28-step seeding phase stays XLA either way — it is
+    <1% of the chain."""
     import jax
     import jax.numpy as jnp
     from jax import lax
+
+    if impl == "auto":
+        impl = os.environ.get("CPFN_LOWRES_FPS", "")
+    if impl in ("auto", ""):
+        impl = (
+            "pallas" if jax.default_backend() not in ("cpu",) else "xla"
+        )
 
     def fn(points, labels, start, n_unique):
         def dist_to(idx):
@@ -64,6 +79,16 @@ def _device_fps_fn(n_points: int, nb_query_points: int, max_labels: int):
             jnp.arange(max_labels) < n_unique, 0.0, 1e6
         ).astype(jnp.float32)
         mind = jnp.full((n_points,), 1e6, jnp.float32).at[seeds].min(seed_vals)
+
+        if impl == "pallas":
+            from cpfn_tpu.ops.pallas_kernels import (
+                farthest_point_sample_seeded_pallas,
+            )
+
+            rest = farthest_point_sample_seeded_pallas(
+                points, mind, nb_query_points
+            )
+            return seeds, rest
 
         def fps_body(i, st):
             mind, idx, out = st

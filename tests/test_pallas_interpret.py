@@ -65,3 +65,45 @@ def test_ball_query_kernel_interpret(rng):
         pallas_kernels.pl.pallas_call = old_call
     ref = ops.ball_query(P, q, 0.4, 8, impl="xla")
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_lowres_seeded_fps_interpret_matches_xla(rng):
+    """The preprocessing device-FPS graph (`lowres._device_fps_fn`) must
+    select the same subsample whether its global phase runs as the XLA
+    fori_loop or the seeded Pallas kernel (squared-distance space; argmax is
+    invariant under the monotone map at this fixture's seed)."""
+    from cpfn_tpu.ops import pallas_kernels
+    from cpfn_tpu.preprocess import lowres
+
+    pts = rng.randn(500, 3).astype(np.float32)
+    labels = rng.randint(0, 5, 500).astype(np.int32)
+    n_unique = len(np.unique(labels))
+
+    lowres._device_fps_fn.cache_clear()
+    fx = lowres._device_fps_fn(500, 64, 28, impl="xla")
+    sx, rx = fx(
+        jnp.asarray(pts), jnp.asarray(labels),
+        jnp.int32(3), jnp.int32(n_unique),
+    )
+
+    old_call = pl.pallas_call
+    try:
+        def call_interpret(*a, **k):
+            k["interpret"] = True
+            return old_call(*a, **k)
+
+        pallas_kernels.pl.pallas_call = call_interpret
+        fp = lowres._device_fps_fn(500, 64, 28, impl="pallas")
+        sp, rp = fp(
+            jnp.asarray(pts), jnp.asarray(labels),
+            jnp.int32(3), jnp.int32(n_unique),
+        )
+    finally:
+        pallas_kernels.pl.pallas_call = old_call
+        lowres._device_fps_fn.cache_clear()
+
+    np.testing.assert_array_equal(np.asarray(sx), np.asarray(sp))
+    np.testing.assert_array_equal(np.asarray(rx), np.asarray(rp))
+    # every label survives the subsample (the CLI's own invariant)
+    idx = np.concatenate([np.asarray(sp)[:n_unique], np.asarray(rp)])
+    assert len(np.unique(labels[idx])) == n_unique

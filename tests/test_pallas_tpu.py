@@ -107,3 +107,26 @@ def test_fused_forward_parity_on_tpu(rng):
         np.testing.assert_allclose(
             np.asarray(b), np.asarray(a), atol=5e-3, rtol=1e-3
         )
+
+
+def test_lowres_seeded_fps_pallas_on_tpu(rng):
+    """Mosaic lowering + selection parity of the preprocessing seeded-FPS
+    kernel at a production-like shape (the interpret-mode twin runs in the
+    CPU suite). Near-tie f32 divergence between the euclidean XLA chain and
+    the squared-space kernel is possible in principle; at these seeds the
+    selections agree exactly."""
+    from cpfn_tpu.preprocess import lowres
+
+    pts = rng.randn(20_000, 3).astype(np.float32)
+    labels = rng.randint(0, 12, 20_000).astype(np.int32)
+    n_unique = len(np.unique(labels))
+    lowres._device_fps_fn.cache_clear()
+    fx = lowres._device_fps_fn(20_000, 512, 28, impl="xla")
+    sx, rx = fx(jnp.asarray(pts), jnp.asarray(labels),
+                jnp.int32(7), jnp.int32(n_unique))
+    fp = lowres._device_fps_fn(20_000, 512, 28, impl="pallas")
+    sp, rp = fp(jnp.asarray(pts), jnp.asarray(labels),
+                jnp.int32(7), jnp.int32(n_unique))
+    lowres._device_fps_fn.cache_clear()
+    np.testing.assert_array_equal(np.asarray(sx), np.asarray(sp))
+    np.testing.assert_array_equal(np.asarray(rx), np.asarray(rp))
