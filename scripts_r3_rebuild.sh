@@ -16,8 +16,17 @@ D=data_synth2
 if [ ! -f _rebuild/corpus.done ]; then
   python -m cpfn_tpu.data.gen_corpus --out $D --n_train 6144 --n_test 256 \
     || exit 1
+  # hard host resets leave zero-filled pages in unflushed files (seen twice);
+  # scan + delete, regenerate if anything was dropped, then force writeback
+  python -m cpfn_tpu.data.verify_corpus $D/highres --delete || exit 1
+  n=$(ls $D/highres | wc -l)
+  if [ "$n" -ne 6400 ]; then
+    python -m cpfn_tpu.data.gen_corpus --out $D --n_train 6144 --n_test 256 \
+      || exit 1
+  fi
   n=$(ls $D/highres | wc -l)
   [ "$n" -eq 6400 ] || { echo "corpus incomplete: $n/6400"; exit 1; }
+  sync
   touch _rebuild/corpus.done
 fi
 

@@ -83,3 +83,47 @@ def test_patch_selection_dataset_preload_equivalence(tmp_path):
     # second access hits the cache and still matches the lazy stream
     for k in ("P", "labels", "unshuffle"):
         np.testing.assert_array_equal(lazy[0][k], pre[0][k])
+
+
+def test_verify_corpus_detects_zero_page_corruption(tmp_path, capsys):
+    """Hard host resets leave zero-filled pages in unflushed h5 files
+    (metadata survives, data blocks don't). verify_corpus must flag and
+    delete exactly those files so the deterministic generator re-derives
+    them on the next resume pass."""
+    import h5py
+
+    from cpfn_tpu.data import verify_corpus
+
+    out = str(tmp_path / "corpus")
+    gen_corpus.main([
+        "--out", out, "--n_train", "3", "--n_test", "0",
+        "--n_points", "2000", "--min_instances", "3", "--max_instances", "3",
+        "--min_small", "1", "--max_small", "1", "--seed", "3",
+    ])
+    hr = os.path.join(out, "highres")
+    names = sorted(os.listdir(hr))
+    assert verify_corpus.check_file(os.path.join(hr, names[0])) is None
+
+    # simulate a lost data page: zero out gt_points rows
+    with h5py.File(os.path.join(hr, names[1]), "r+") as f:
+        pts = f["gt_points"][()]
+        pts[100:500] = 0.0
+        f["gt_points"][...] = pts
+    # and a torn file: truncate to half size
+    p2 = os.path.join(hr, names[2])
+    data = open(p2, "rb").read()
+    open(p2, "wb").write(data[: len(data) // 2])
+
+    assert verify_corpus.check_file(os.path.join(hr, names[1])) is not None
+    assert verify_corpus.check_file(p2) is not None
+
+    import sys
+
+    argv = sys.argv
+    sys.argv = ["verify_corpus", hr, "--delete"]
+    try:
+        verify_corpus.main()
+    finally:
+        sys.argv = argv
+    left = sorted(os.listdir(hr))
+    assert left == [names[0]]
