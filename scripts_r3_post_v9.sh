@@ -31,19 +31,24 @@ python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9 \
 # 2) ensemble R=4, local side (64 clouds: gain measurement, not the headline)
 if [ ! -f data_synth2/eval_out_v9ens/Results.csv ]; then
   timeout 2400 python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL --first_n 64 \
-    --n_shuffles 4 --output_folder data_synth2/eval_out_v9ens || exit 1
+    --n_shuffles 4 --output_folder data_synth2/eval_out_v9ens \
+    || echo "STAGE2-ENSEMBLE FAILED (non-fatal)"
 fi
-python -m cpfn_tpu.eval.eval_baseline \
-  --config_file configs/config_synth2_local_v9.yml \
-  --highres_dataset data_synth2/highres \
-  --dir_spfn data_synth2/globalspfn_eval_g2 --csv_dir data_synth2/Dataset \
-  --output_folder data_synth2/eval_out_v9ens --first_n 64 || exit 1
-python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9ens
+if [ -f data_synth2/eval_out_v9ens/Results.csv ]; then
+  python -m cpfn_tpu.eval.eval_baseline \
+    --config_file configs/config_synth2_local_v9.yml \
+    --highres_dataset data_synth2/highres \
+    --dir_spfn data_synth2/globalspfn_eval_g2 --csv_dir data_synth2/Dataset \
+    --output_folder data_synth2/eval_out_v9ens --first_n 64 \
+    && python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9ens \
+    || echo "STAGE2-COMPARE FAILED (non-fatal)"
+fi
 
 # 3a) bf16 cascade parity (64 clouds vs the f32 numbers from stage 1)
 if [ ! -f data_synth2/eval_out_v9bf16/Results.csv ]; then
   timeout 2400 python -m cpfn_tpu.eval.eval_local $COMMON_LOCAL --first_n 64 \
-    --bf16 --output_folder data_synth2/eval_out_v9bf16 || exit 1
+    --bf16 --output_folder data_synth2/eval_out_v9bf16 \
+    || echo "STAGE3A-BF16 FAILED (non-fatal)"
 fi
 # 3b) bf16 global parity (64 clouds, fresh f32-vs-bf16 pair)
 if [ ! -f data_synth2/globalspfn_eval_bf16/Results.csv ]; then
@@ -52,7 +57,8 @@ if [ ! -f data_synth2/globalspfn_eval_bf16/Results.csv ]; then
     --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
     --csv_dir data_synth2/Dataset --path_patches data_synth2/patches \
     --scale 0.05 --output_folder data_synth2/globalspfn_eval_bf16 \
-    --evaluation_set test --skip_features --first_n 64 --bf16 || exit 1
+    --evaluation_set test --skip_features --first_n 64 --bf16 \
+    || echo "STAGE3B-BF16 FAILED (non-fatal)"
 fi
 
 # 4) oracle ceiling vs the g2 baseline
@@ -124,19 +130,23 @@ if [ ! -f data_synth2/globalspfn_eval_g2ens/Results.csv ]; then
     --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
     --csv_dir data_synth2/Dataset --path_patches data_synth2/patches \
     --scale 0.05 --output_folder data_synth2/globalspfn_eval_g2ens \
-    --evaluation_set test --skip_features --first_n 64 --n_shuffles 4 || exit 1
+    --evaluation_set test --skip_features --first_n 64 --n_shuffles 4 \
+    || echo "STAGE8-GLOBALENS FAILED (non-fatal)"
 fi
-python -m cpfn_tpu.eval.eval_baseline \
-  --config_file configs/config_synth2_local_v9.yml \
-  --highres_dataset data_synth2/highres \
-  --dir_spfn data_synth2/globalspfn_eval_g2ens --csv_dir data_synth2/Dataset \
-  --output_folder data_synth2/eval_out_bothens --first_n 64 || exit 1
-python -m cpfn_tpu.eval.eval_local --config_file configs/config_synth2_local_v9.yml \
-  --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
-  --dir_spfn data_synth2/globalspfn_eval_g2ens --dir_indices data_synth2/heatmaps \
-  --csv_dir data_synth2/Dataset --scale 0.05 --weights $V9 --first_n 64 \
-  --n_shuffles 4 --output_folder data_synth2/eval_out_bothens || exit 1
-python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_bothens
+if [ -f data_synth2/globalspfn_eval_g2ens/Results.csv ]; then
+  python -m cpfn_tpu.eval.eval_baseline \
+    --config_file configs/config_synth2_local_v9.yml \
+    --highres_dataset data_synth2/highres \
+    --dir_spfn data_synth2/globalspfn_eval_g2ens --csv_dir data_synth2/Dataset \
+    --output_folder data_synth2/eval_out_bothens --first_n 64 \
+    && python -m cpfn_tpu.eval.eval_local --config_file configs/config_synth2_local_v9.yml \
+      --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
+      --dir_spfn data_synth2/globalspfn_eval_g2ens --dir_indices data_synth2/heatmaps \
+      --csv_dir data_synth2/Dataset --scale 0.05 --weights $V9 --first_n 64 \
+      --n_shuffles 4 --output_folder data_synth2/eval_out_bothens \
+    && python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_bothens \
+    || echo "STAGE8 FAILED (non-fatal)"
+fi
 
 # 9) OVERNIGHT: LocalSPFN extension 60k->90k (probe said the model was still
 #    LR-schedule-limited at 60k), then the 256-cloud cascade on the extended
