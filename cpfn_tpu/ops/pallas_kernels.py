@@ -66,7 +66,7 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, dist_ref, *, num_samples, n_pad):
     lax.fori_loop(1, num_samples, body, jnp.int32(0))
 
 
-_BQ_CHUNK = 1024  # points processed per inner step
+_BQ_CHUNK = 1024  # default points-per-inner-step (see ball_query_pallas)
 
 
 def _ball_query_kernel(
@@ -75,8 +75,8 @@ def _ball_query_kernel(
 ):
     """Grid: (B, S // 128). Per step: one 128-query tile against all points.
 
-    Streaming first-K-within-radius selection: walk the points in 1024-wide
-    chunks in index order; per chunk, one MXU matmul gives the 128x1024
+    Streaming first-K-within-radius selection: walk the points in W-wide
+    chunks in index order; per chunk, one MXU matmul gives the 128xW
     distance tile, a second (triangular-ones) matmul ranks the in-radius hits
     within the chunk, and a K-step min-merge folds each hit into its output
     slot (slot s takes the min point index among hits with running slot
@@ -84,13 +84,17 @@ def _ball_query_kernel(
     Early exits once every query's buffer holds K hits, and skips the merge
     for chunks that bring no hits to unfilled queries.
 
-    x/y/z_ref: [1, C, 1024] padded point coordinate planes.
+    The chunk width W trades the O(W^2) ranking matmul per chunk (total
+    O(N*W) per tile) against while-loop trip count and early-exit
+    granularity; it comes in via the block shape (see `ball_query_pallas`).
+
+    x/y/z_ref: [1, C, W] padded point coordinate planes.
     q_ref: [1, 128, 3] query tile. out_ref: [1, 128, K] int32.
     count_ref: [128, 128] i32 scratch (col 0 = hits-so-far per query).
     buf_ref: [128, K] i32 scratch (selected indices, BIG = empty).
     """
     C = x_ref.shape[1]
-    W = _BQ_CHUNK
+    W = x_ref.shape[2]
     K = num_samples
     BIG = jnp.int32(2**30)
     q = q_ref[0]  # [128, 3]
@@ -98,7 +102,8 @@ def _ball_query_kernel(
     buf_ref[:] = jnp.full((128, K), BIG, jnp.int32)
     count_ref[:] = jnp.zeros((128, 128), jnp.int32)
     lane = lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    # inclusive-cumsum operator over the chunk (values <= 1024: exact in f32)
+    # inclusive-cumsum operator over the chunk (values <= W << 2^24: exact
+    # in f32)
     tri = (
         lax.broadcasted_iota(jnp.int32, (W, W), 0)
         <= lax.broadcasted_iota(jnp.int32, (W, W), 1)
@@ -152,13 +157,29 @@ def _ball_query_kernel(
     out_ref[0] = jnp.where(buf == BIG, 0, buf)
 
 
-@functools.partial(jax.jit, static_argnames=("radius", "num_samples"))
+@functools.partial(
+    jax.jit, static_argnames=("radius", "num_samples", "chunk")
+)
 def ball_query_pallas(
-    points: jax.Array, queries: jax.Array, radius: float, num_samples: int
+    points: jax.Array,
+    queries: jax.Array,
+    radius: float,
+    num_samples: int,
+    chunk: int | None = None,
 ) -> jax.Array:
     """[B, N, 3] x [B, S, 3] -> [B, S, K] int32, CUDA ball-query semantics
     (first K in-radius points in scan order, short lists padded with the
-    first hit). S is padded to a multiple of 128 internally; K <= 128."""
+    first hit). S is padded to a multiple of 128 internally; K <= 128.
+
+    `chunk` is the streaming width W (multiple of 128): per query tile the
+    ranking matmul costs O(N*W) total, so smaller W cuts MXU work linearly
+    at the price of more while-loop trips; None = CPFN_BQ_CHUNK env (read at
+    trace time; set per process) or 1024."""
+    if chunk is None:
+        import os
+
+        chunk = int(os.environ.get("CPFN_BQ_CHUNK", str(_BQ_CHUNK)))
+    assert chunk % 128 == 0 and chunk > 0
     B, N, _ = points.shape
     S = queries.shape[1]
     assert num_samples <= 128
@@ -172,12 +193,12 @@ def ball_query_pallas(
     order = jnp.argsort(d0, axis=1)
     inv_order = jnp.argsort(order, axis=1)
     queries = jnp.take_along_axis(queries, order[..., None], axis=1)
-    n_pad = -(-N // _BQ_CHUNK) * _BQ_CHUNK
-    C = n_pad // _BQ_CHUNK
+    n_pad = -(-N // chunk) * chunk
+    C = n_pad // chunk
     coords = jnp.moveaxis(points, -1, 1)
     if n_pad != N:
         coords = jnp.pad(coords, ((0, 0), (0, 0), (0, n_pad - N)))
-    planes = coords.reshape(B, 3, C, _BQ_CHUNK)
+    planes = coords.reshape(B, 3, C, chunk)
     x, y, z = planes[:, 0], planes[:, 1], planes[:, 2]
     s_pad = -(-S // 128) * 128
     if s_pad != S:
@@ -192,11 +213,11 @@ def ball_query_pallas(
         kernel,
         grid=(B, s_pad // 128),
         in_specs=[
-            pl.BlockSpec((1, C, _BQ_CHUNK), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((1, C, chunk), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, _BQ_CHUNK), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((1, C, chunk), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, _BQ_CHUNK), lambda b, s: (b, 0, 0),
+            pl.BlockSpec((1, C, chunk), lambda b, s: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 128, 3), lambda b, s: (b, s, 0),
                          memory_space=pltpu.VMEM),

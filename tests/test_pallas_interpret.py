@@ -107,3 +107,34 @@ def test_lowres_seeded_fps_interpret_matches_xla(rng):
     # every label survives the subsample (the CLI's own invariant)
     idx = np.concatenate([np.asarray(sp)[:n_unique], np.asarray(rp)])
     assert len(np.unique(labels[idx])) == n_unique
+
+
+def test_ball_query_kernel_interpret_explicit_chunks(rng):
+    """The chunk width is a tuning knob (CPFN_BQ_CHUNK / `chunk` arg); any
+    width must produce identical indices, including when N is not a chunk
+    multiple (pad lanes masked by `flat < n_points`)."""
+    from cpfn_tpu.ops import pallas_kernels
+
+    old_call = pl.pallas_call
+    try:
+        def call_interpret(*a, **k):
+            k["interpret"] = True
+            return old_call(*a, **k)
+
+        pl.pallas_call = call_interpret
+        pallas_kernels.pl.pallas_call = call_interpret
+        P = jnp.asarray(rng.randn(2, 700, 3) * 0.5, jnp.float32)
+        q = P[:, :130]
+        got = {
+            c: pallas_kernels.ball_query_pallas.__wrapped__(
+                P, q, 0.4, 8, chunk=c
+            )
+            for c in (128, 256, 512)
+        }
+    finally:
+        pl.pallas_call = old_call
+        pallas_kernels.pl.pallas_call = old_call
+    ref = ops.ball_query(P, q, 0.4, 8, impl="xla")
+    for c, g in got.items():
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(ref),
+                                      err_msg=f"chunk={c}")

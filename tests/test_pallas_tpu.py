@@ -58,6 +58,22 @@ def test_ball_query_pallas_matches_xla(rng):
         np.testing.assert_array_equal(a, b)
 
 
+def test_ball_query_pallas_chunk_widths_on_tpu(rng):
+    """Chunk width is a perf knob only: every W must lower through Mosaic
+    and return identical indices at the LocalSPFN SA1 shape."""
+    from cpfn_tpu import ops
+    from cpfn_tpu.ops.pallas_kernels import ball_query_pallas
+
+    B, N, S, r, K = 4, 8192, 512, 0.2, 64
+    P = jnp.asarray(rng.randn(B, N, 3) * 0.5, jnp.float32)
+    idx = ops.farthest_point_sample(P, S)
+    Q = ops.gather_points(P, idx)
+    a = np.asarray(ops.ball_query(P, Q, r, K, impl="xla"))
+    for chunk in (256, 512, 2048):
+        b = np.asarray(ball_query_pallas(P, Q, r, K, chunk=chunk))
+        np.testing.assert_array_equal(a, b, err_msg=f"chunk={chunk}")
+
+
 def test_fused_mlp_matches_xla_on_tpu(rng):
     """Mosaic-lowering parity for the fused eval MLP kernels at the real SA1
     shape (interpret-mode logic parity lives in test_fused_mlp.py)."""
