@@ -47,14 +47,23 @@ def _cost(compiled):
         return float("nan"), float("nan")
 
 
-def _time_jitted(fn_jitted, args, repeats):
+def _materialize(out):
+    # block_until_ready is NOT a true barrier on the tunneled axon runtime;
+    # a host materialization of one element is (utils/profiling.py rule)
     import jax
 
-    jax.block_until_ready(fn_jitted(*args))  # warmup/compile
+    leaf = next(
+        x for x in jax.tree_util.tree_leaves(out) if hasattr(x, "ravel")
+    )
+    np.asarray(leaf.ravel()[:1])
+
+
+def _time_jitted(fn_jitted, args, repeats):
+    _materialize(fn_jitted(*args))  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(repeats):
         out = fn_jitted(*args)
-    jax.block_until_ready(out)
+    _materialize(out)
     return (time.perf_counter() - t0) / repeats
 
 
