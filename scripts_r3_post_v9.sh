@@ -172,4 +172,5 @@ cp data_synth2/eval_out_g2/Results_baseline.csv \
    data_synth2/eval_out_g2/Results_Stats_baseline.csv data_synth2/eval_out_v9e90/
 python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9e90 \
   | tee data_synth2/eval_out_v9e90/compare.txt
+bash scripts_archive_artifacts.sh
 echo "POST-V9 PIPELINE DONE"
