@@ -27,6 +27,7 @@ cp data_synth2/eval_out_g2/Results_baseline.csv \
    data_synth2/eval_out_g2/Results_Stats_baseline.csv data_synth2/eval_out_v9/
 python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9 \
   | tee data_synth2/eval_out_v9/compare.txt
+bash scripts_archive_artifacts.sh "stage1 headline v9 vs g2"
 
 # 2) ensemble R=4, local side (64 clouds: gain measurement, not the headline)
 if [ ! -f data_synth2/eval_out_v9ens/Results.csv ]; then
@@ -43,6 +44,7 @@ if [ -f data_synth2/eval_out_v9ens/Results.csv ]; then
     && python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9ens \
     || echo "STAGE2-COMPARE FAILED (non-fatal)"
 fi
+bash scripts_archive_artifacts.sh "stage2 ensemble R=4"
 
 # 3a) bf16 cascade parity (64 clouds vs the f32 numbers from stage 1)
 if [ ! -f data_synth2/eval_out_v9bf16/Results.csv ]; then
@@ -60,10 +62,12 @@ if [ ! -f data_synth2/globalspfn_eval_bf16/Results.csv ]; then
     --evaluation_set test --skip_features --first_n 64 --bf16 \
     || echo "STAGE3B-BF16 FAILED (non-fatal)"
 fi
+bash scripts_archive_artifacts.sh "stage3 bf16 parity"
 
 # 4) oracle ceiling vs the g2 baseline
-timeout 2400 python _diag_oracle.py 64 data_synth2/globalspfn_eval_g2 \
+timeout 2400 python tools/diag_oracle.py 64 data_synth2/globalspfn_eval_g2 \
   | tee data_synth2/eval_out_v9/oracle_g2.txt || echo "oracle stage timed out"
+bash scripts_archive_artifacts.sh "stage4 oracle ceiling vs g2"
 
 # 4b) Mosaic-lowering validation of all Pallas kernels (incl. the new fused
 #     eval MLP chains) on hardware, before any fused measurements
@@ -104,8 +108,16 @@ bench_stage bench_oracle.json CPFN_DUMMY=0
 # cold-start experiment (VERDICT item 6): identical fresh process right
 # after — if the persistent compilation cache works on this runtime, run 2's
 # warmup should collapse; if not, the warmup floor is remote-compile time
+bench_stage bench_shuffles.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_SHUFFLES=4
 bench_stage bench_oracle2.json CPFN_DUMMY=0
 grep -h "warmup done" $PERF/bench_oracle.json.err $PERF/bench_oracle2.json.err
+# cold-start per-graph compile breakdown (VERDICT r3 item 5)
+if [ ! -s $PERF/warmup_breakdown.json ]; then
+  timeout 2400 python tools/warmup_breakdown.py | tee $PERF/warmup_breakdown.json.part \
+    && mv $PERF/warmup_breakdown.json.part $PERF/warmup_breakdown.json \
+    || echo "WARMUP-BREAKDOWN FAILED (non-fatal)"
+fi
+bash scripts_archive_artifacts.sh "stage5 production benches"
 
 # 6) roofline table (f32 + bf16 + fused variants of the local forward)
 roofline_stage() {  # roofline_stage OUTNAME ARGS...
@@ -118,9 +130,11 @@ roofline_stage roofline_f32.json
 roofline_stage roofline_bf16.json --bf16
 roofline_stage roofline_fused.json --graphs local_fwd --fused
 roofline_stage roofline_fused_bf16.json --graphs local_fwd --fused --bf16
+bash scripts_archive_artifacts.sh "stage6 roofline MFU"
 
 # 7) fused-kernel bench (only meaningful if 4b passed — inspect before use)
 bench_stage bench_fused.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_FUSED=1
+bash scripts_archive_artifacts.sh "stage7 fused bench"
 
 # 8) ensemble-vs-ensemble (64 clouds): R=4 on BOTH sides — global artifacts
 #    regenerated with the shuffle ensemble, then baseline + cascade on them
@@ -147,6 +161,7 @@ if [ -f data_synth2/globalspfn_eval_g2ens/Results.csv ]; then
     && python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_bothens \
     || echo "STAGE8 FAILED (non-fatal)"
 fi
+bash scripts_archive_artifacts.sh "stage8 ensemble both sides"
 
 # 9) OVERNIGHT: LocalSPFN extension 60k->90k (probe said the model was still
 #    LR-schedule-limited at 60k), then the 256-cloud cascade on the extended
