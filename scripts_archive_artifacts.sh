@@ -54,11 +54,19 @@ else
   echo "archived: $n files"
 fi
 
+# The persistent XLA compilation cache is the cold-start floor: host resets
+# wipe it, forcing full remote recompiles (~20 min for the bench graph set,
+# PERF.md round 3). Git-tracking it makes compiled TPU executables survive
+# resets — a stale/partial entry is harmless (jax recompiles on miss).
+if [ -d .xla_cache ]; then
+  git add -A .xla_cache >/dev/null 2>&1 || true
+fi
+
 # Reset-proofing is only real once committed (ADVICE r3, medium): stage the
 # tree and commit iff something changed. Never fail the calling pipeline.
 git add -A $OUT >/dev/null 2>&1 || true
-if ! git diff --cached --quiet -- $OUT 2>/dev/null; then
-  git commit -q -m "archive r4 artifacts${1:+: $1}" -- $OUT || true
+if ! git diff --cached --quiet -- $OUT .xla_cache 2>/dev/null; then
+  git commit -q -m "archive r4 artifacts${1:+: $1}" -- $OUT .xla_cache || true
   echo "committed artifact snapshot${1:+ ($1)}"
 fi
 exit 0
