@@ -11,6 +11,15 @@
 set -x
 cd /root/repo
 
+# Log heartbeat: the stall watchdog kills the process group when the log is
+# quiet >600 s, but first-time XLA compiles of the big cascade graphs are
+# silent for longer than that (r3 measured a 1193 s warmup). Every stage in
+# this pipeline is individually bounded by `timeout`, so hang recovery does
+# not depend on the stall kill here — keep the log warm for its duration.
+( while :; do echo "[post-v9 heartbeat] $(date -u +%H:%M:%S)"; sleep 120; done ) &
+HB_PID=$!
+trap 'kill $HB_PID 2>/dev/null' EXIT
+
 V9=data_synth2/checkpoints_v9/localspfn_0.05
 COMMON_LOCAL="--config_file configs/config_synth2_local_v9.yml \
   --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
