@@ -150,6 +150,8 @@ def main():
     suffix = ", trained+patchselec" if TRAINED else ""
     if WORST:
         suffix += ", worst-case 32 patches"
+    if BF16:
+        suffix += ", bf16"
     if SHUFFLES > 1:
         suffix += f", ensemble x{SHUFFLES}"
     if FUSED:

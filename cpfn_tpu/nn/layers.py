@@ -28,23 +28,30 @@ def linear_init(key: jax.Array, cin: int, cout: int, dtype=jnp.float32):
     }
 
 
-def linear_apply(params, x: jax.Array, compute_dtype=None) -> jax.Array:
+def linear_apply(
+    params, x: jax.Array, compute_dtype=None, out_dtype=None
+) -> jax.Array:
     """x: [..., cin] -> [..., cout]. The pointwise (1x1) convolution.
 
     With compute_dtype=bfloat16 the matmul inputs are cast down (params stay
     f32) and the MXU accumulates in f32 — the standard TPU mixed-precision
-    recipe. Output is always f32.
+    recipe. NOTE: the TPU MXU truncates f32 matmul inputs to bf16 by default
+    anyway (jax default_matmul_precision), so the cast alone changes neither
+    numerics nor speed there; the real bytes-bound lever is `out_dtype`,
+    which keeps the ACTIVATION in low precision between ops and halves the
+    HBM traffic of every [B, S, K, C] / [B, N, C] intermediate.
     """
     w = params["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
-    return (
+    y = (
         jnp.einsum(
             "...i,io->...o", x, w, preferred_element_type=jnp.float32,
         )
         + params["b"]
     )
+    return y.astype(out_dtype) if out_dtype is not None else y
 
 
 def bn_init(c: int, dtype=jnp.float32):
@@ -62,6 +69,7 @@ def bn_apply(
     momentum,
     eps: float = BN_EPS,
     axis_name: str | None = None,
+    out_dtype=None,
 ):
     """Batch norm over all axes but the last (channel) axis.
 
@@ -73,7 +81,18 @@ def bn_apply(
 
     If `axis_name` is set, batch statistics are all-reduced across that mesh
     axis (sync BN for data-parallel training).
+
+    In eval mode with `out_dtype` set, the running-stat normalization is
+    folded into a per-channel affine computed in f32 and applied in
+    out_dtype — the bf16 activation pipeline (statistics always stay f32).
     """
+    if not train and out_dtype is not None:
+        inv = jax.lax.rsqrt(state["var"] + eps) * params["scale"]
+        shift = params["bias"] - state["mean"] * inv
+        y = x.astype(out_dtype) * inv.astype(out_dtype) + shift.astype(
+            out_dtype
+        )
+        return y, state
     reduce_axes = tuple(range(x.ndim - 1))
     if train:
         mean = jnp.mean(x, axis=reduce_axes)

@@ -60,8 +60,13 @@ class PointNet2Config:
     fc_dim: int = 128
     dropout_rate: float = 0.5
     fps_impl: str = "auto"
-    # 'bfloat16' casts matmul inputs down (f32 accumulation, f32 params/BN) —
-    # the TPU mixed-precision recipe; None keeps full f32
+    # 'bfloat16': in eval, the full bf16 ACTIVATION pipeline — intermediates
+    # (grouped tensors, interpolated/skip features, folded-BN affines) flow
+    # in bf16 with f32 matmul accumulation and f32 params/BN stats/outputs,
+    # halving the HBM traffic the roofline says dominates. In train, only
+    # matmul inputs are tagged bf16 (activations/statistics stay f32; the
+    # TPU MXU truncates f32 matmul inputs to bf16 by default anyway).
+    # None keeps full f32.
     compute_dtype: str | None = None
     # Frozen-BN fine-tune mode: always normalize with the (restored) running
     # statistics and never update them, even under train=True. Standard
@@ -98,13 +103,16 @@ def _mlp_init(key, cin: int, widths: Sequence[int]):
 
 
 def _mlp_apply(params, state, x, *, train, momentum, axis_name=None,
-               compute_dtype=None):
+               compute_dtype=None, act_dtype=None):
+    """act_dtype (eval only): keep the activation in this dtype between ops —
+    linear outputs, the folded BN affine, and the ReLU all stay low-precision
+    so the [B, S, K, C] intermediates cost half the HBM traffic."""
     new_bn_states = []
     for conv, bn, bn_state in zip(params["convs"], params["bns"], state["bns"]):
-        x = layers.linear_apply(conv, x, compute_dtype)
+        x = layers.linear_apply(conv, x, compute_dtype, out_dtype=act_dtype)
         x, ns = layers.bn_apply(
             bn, bn_state, x, train=train, momentum=momentum,
-            axis_name=axis_name,
+            axis_name=axis_name, out_dtype=act_dtype,
         )
         x = jax.nn.relu(x)
         new_bn_states.append(ns)
@@ -164,13 +172,20 @@ def _set_abstraction(
     fps_impl,
     axis_name=None,
     compute_dtype=None,
+    act_dtype=None,
     fused_eval=False,
 ):
-    """One SA block: FPS -> ball query -> group -> MLP -> max-pool over K."""
+    """One SA block: FPS -> ball query -> group -> MLP -> max-pool over K.
+
+    With act_dtype, the channel-expanded grouped tensor — the graph's
+    dominant HBM traffic — is built and consumed in low precision; the
+    geometry (FPS / ball query / distances) always stays f32."""
     idx = ops.farthest_point_sample(pos, num_points, impl=fps_impl)
     new_pos = ops.gather_points(pos, idx)  # [B, S, 3]
     group_idx = ops.ball_query(pos, new_pos, radius, num_samples)
     grouped_pos = ops.gather_points(pos, group_idx) - new_pos[:, :, None, :]
+    if act_dtype is not None:
+        grouped_pos = grouped_pos.astype(act_dtype)
     if feats is not None:
         grouped_feats = ops.gather_points(feats, group_idx)
         grouped = jnp.concatenate([grouped_feats, grouped_pos], axis=-1)
@@ -182,20 +197,21 @@ def _set_abstraction(
         B, S, K, C = grouped.shape
         pooled = fused_mlp_maxpool(
             grouped.reshape(B, S * K, C), fold_bn_eval(params, state),
-            K, compute_dtype=compute_dtype,
+            K, compute_dtype=compute_dtype, out_dtype=act_dtype,
         )
         return new_pos, pooled, state
     out, new_state = _mlp_apply(
         params, state, grouped, train=train, momentum=momentum,
-        axis_name=axis_name, compute_dtype=compute_dtype,
+        axis_name=axis_name, compute_dtype=compute_dtype, act_dtype=act_dtype,
     )
     return new_pos, jnp.max(out, axis=2), new_state  # [B, S, C']
 
 
 def _group_all(params, state, pos, feats, *, train, momentum, axis_name=None,
-               compute_dtype=None, fused_eval=False):
+               compute_dtype=None, act_dtype=None, fused_eval=False):
     """The final SA block: single group over all points (positions first)."""
-    grouped = pos[:, None]  # [B, 1, N, 3]
+    pos_in = pos.astype(act_dtype) if act_dtype is not None else pos
+    grouped = pos_in[:, None]  # [B, 1, N, 3]
     if feats is not None:
         grouped = jnp.concatenate([grouped, feats[:, None]], axis=-1)
     if fused_eval:
@@ -204,12 +220,12 @@ def _group_all(params, state, pos, feats, *, train, momentum, axis_name=None,
         B, _, N, C = grouped.shape
         pooled = fused_mlp_maxpool(
             grouped.reshape(B, N, C), fold_bn_eval(params, state),
-            N, compute_dtype=compute_dtype,
+            N, compute_dtype=compute_dtype, out_dtype=act_dtype,
         )
         return pooled, state  # [B, 1, C']
     out, new_state = _mlp_apply(
         params, state, grouped, train=train, momentum=momentum,
-        axis_name=axis_name, compute_dtype=compute_dtype,
+        axis_name=axis_name, compute_dtype=compute_dtype, act_dtype=act_dtype,
     )
     return jnp.max(out, axis=2), new_state  # [B, 1, C']
 
@@ -226,9 +242,13 @@ def _feature_propagation(
     momentum,
     axis_name=None,
     compute_dtype=None,
+    act_dtype=None,
     fused_eval=False,
 ):
-    """One FP block: 3-NN inverse-distance interpolation + skip + MLP."""
+    """One FP block: 3-NN inverse-distance interpolation + skip + MLP.
+
+    With act_dtype, the interpolated and skip features flow in low precision
+    (the 3-NN geometry stays f32)."""
     N = pos1.shape[1]
     if pos2 is None:
         interpolated = jnp.broadcast_to(
@@ -238,6 +258,10 @@ def _feature_propagation(
         dists, idx = ops.three_nn(pos1, pos2)
         weights = ops.geometry.interpolation_weights(dists)
         interpolated = ops.three_interpolate(feats2, idx, weights)
+    if act_dtype is not None:
+        interpolated = interpolated.astype(act_dtype)
+        if feats1 is not None:
+            feats1 = feats1.astype(act_dtype)
     if feats1 is not None:
         x = jnp.concatenate([feats1, interpolated], axis=-1)
     else:
@@ -246,11 +270,12 @@ def _feature_propagation(
         from cpfn_tpu.ops.fused_mlp import fold_bn_eval, fused_mlp_pointwise
 
         return fused_mlp_pointwise(
-            x, fold_bn_eval(params, state), compute_dtype=compute_dtype
+            x, fold_bn_eval(params, state), compute_dtype=compute_dtype,
+            out_dtype=act_dtype,
         ), state
     return _mlp_apply(
         params, state, x, train=train, momentum=momentum,
-        axis_name=axis_name, compute_dtype=compute_dtype,
+        axis_name=axis_name, compute_dtype=compute_dtype, act_dtype=act_dtype,
     )
 
 
@@ -288,12 +313,19 @@ def apply_pointnet2(
         points[..., cfg.dim_pos :] if points.shape[-1] > cfg.dim_pos else None
     )
     cdt = jnp.dtype(cfg.compute_dtype) if cfg.compute_dtype else None
+    # Eval-only bf16 ACTIVATION pipeline: intermediates flow in compute_dtype
+    # (folded-affine BN, low-precision gathers/interpolation), halving the
+    # HBM traffic the roofline says dominates. Training keeps f32 activations
+    # and f32 BN statistics (compute_dtype there only tags matmul inputs,
+    # which the TPU MXU truncates to bf16 by default anyway).
+    act_dt = cdt if (cdt is not None and not train) else None
     # bn_eval_mode freezes BN (running stats, no updates) while dropout and
     # everything else still follow `train`
     bn_train = train and not cfg.bn_eval_mode
     kw = dict(
         train=bn_train, momentum=bn_momentum, axis_name=axis_name,
-        compute_dtype=cdt, fused_eval=cfg.fused_eval_mlp and not train,
+        compute_dtype=cdt, act_dtype=act_dt,
+        fused_eval=cfg.fused_eval_mlp and not train,
     )
     new_state = {}
     l1_pos, l1_feats, new_state["sa1"] = _set_abstraction(
@@ -311,11 +343,13 @@ def apply_pointnet2(
     )  # [B, 1, 1024]
     if cfg.use_glob_features:
         l3_feats = jnp.concatenate(
-            [l3_feats, glob_features[:, None, :]], axis=-1
+            [l3_feats, glob_features[:, None, :].astype(l3_feats.dtype)],
+            axis=-1,
         )
     if cfg.use_loc_features:
         l3_feats = jnp.concatenate(
-            [l3_feats, loc_features[:, None, :]], axis=-1
+            [l3_feats, loc_features[:, None, :].astype(l3_feats.dtype)],
+            axis=-1,
         )
     l4_feats, new_state["fp1"] = _feature_propagation(
         params["fp1"], state["fp1"], l2_pos, None, l2_feats, l3_feats, **kw
@@ -327,22 +361,27 @@ def apply_pointnet2(
         params["fp3"], state["fp3"], input_pos, l1_pos, input_feats, l5_feats,
         **kw,
     )
-    point_feat = layers.linear_apply(params["fc1"], l6_feats, cdt)
-    outputs = {"global_feat": l3_feats[:, 0, :]}
+    point_feat = layers.linear_apply(params["fc1"], l6_feats, cdt,
+                                     out_dtype=act_dt)
+    # boundary: everything returned to callers (fusion, losses, features
+    # injection across models) is f32 regardless of the internal pipeline
+    outputs = {"global_feat": l3_feats[:, 0, :].astype(jnp.float32)}
     if cfg.features_extractor:
         outputs["heads"] = []
-        outputs["point_feat"] = point_feat
+        outputs["point_feat"] = point_feat.astype(jnp.float32)
     else:
         x, new_state["bn1"] = layers.bn_apply(
             params["bn1"], state["bn1"], point_feat,
             train=bn_train, momentum=bn_momentum, axis_name=axis_name,
+            out_dtype=act_dt,
         )
         x = jax.nn.relu(x)
         x = layers.dropout(rng, x, cfg.dropout_rate, train=train)
+        # heads accumulate in f32 and keep the f32 bias: outputs are f32
         outputs["heads"] = [
             layers.linear_apply(head, x, cdt) for head in params["heads"]
         ]
-        outputs["point_feat"] = x
+        outputs["point_feat"] = x.astype(jnp.float32)
     return outputs, new_state
 
 

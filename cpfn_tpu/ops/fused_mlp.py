@@ -81,12 +81,12 @@ def _pool_kernel(x_ref, *wb_and_out, group_size, tile_s, compute_dtype):
                 keepdims=True)
         for s in range(tile_s)
     ]
-    out_ref[0] = jnp.concatenate(cols, axis=0)  # [tile_s, Cout]
+    out_ref[0] = jnp.concatenate(cols, axis=0).astype(out_ref.dtype)
 
 
 def _pointwise_kernel(x_ref, *wb_and_out, compute_dtype):
     wb_refs, out_ref = wb_and_out[:-1], wb_and_out[-1]
-    out_ref[0] = _chain(x_ref[0], wb_refs, compute_dtype)
+    out_ref[0] = _chain(x_ref[0], wb_refs, compute_dtype).astype(out_ref.dtype)
 
 
 def _tile_rows(cin: int, widths, group_size: int) -> int:
@@ -114,13 +114,15 @@ def _wb_specs(folded):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("group_size", "compute_dtype")
+    jax.jit, static_argnames=("group_size", "compute_dtype", "out_dtype")
 )
 def fused_mlp_maxpool(
-    x: jax.Array, folded, group_size: int, compute_dtype=None
+    x: jax.Array, folded, group_size: int, compute_dtype=None, out_dtype=None
 ) -> jax.Array:
     """x: [B, S*K, Cin] with each center's K rows contiguous (s-major);
-    folded: list of (w, b) from `fold_bn_eval`. Returns [B, S, Cout]."""
+    folded: list of (w, b) from `fold_bn_eval`. Returns [B, S, Cout]
+    (f32, or `out_dtype` for the bf16 activation pipeline — the chain still
+    accumulates in f32 and only the HBM store is low-precision)."""
     B, R, cin = x.shape
     K = group_size
     S = R // K
@@ -145,14 +147,19 @@ def fused_mlp_maxpool(
         out_specs=pl.BlockSpec((1, tile_s, widths[-1]),
                                lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S, widths[-1]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, S, widths[-1]), jnp.dtype(out_dtype) if out_dtype else jnp.float32
+        ),
     )(x, *wb_args)
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("compute_dtype",))
-def fused_mlp_pointwise(x: jax.Array, folded, compute_dtype=None) -> jax.Array:
-    """x: [B, N, Cin] -> [B, N, Cout] through the folded chain."""
+@functools.partial(jax.jit, static_argnames=("compute_dtype", "out_dtype"))
+def fused_mlp_pointwise(
+    x: jax.Array, folded, compute_dtype=None, out_dtype=None
+) -> jax.Array:
+    """x: [B, N, Cin] -> [B, N, Cout] through the folded chain (f32 out, or
+    `out_dtype` for the bf16 activation pipeline)."""
     B, N, cin = x.shape
     widths = [w.shape[1] for w, _ in folded]
     tile_n = min(_tile_rows(cin, widths, 1), N)
@@ -176,6 +183,9 @@ def fused_mlp_pointwise(x: jax.Array, folded, compute_dtype=None) -> jax.Array:
         out_specs=pl.BlockSpec((1, tile_n, widths[-1]),
                                lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n_pad, widths[-1]), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, n_pad, widths[-1]),
+            jnp.dtype(out_dtype) if out_dtype else jnp.float32,
+        ),
     )(x, *wb_args)
     return out[:, :N]

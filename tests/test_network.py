@@ -115,6 +115,41 @@ def test_bf16_compute_close_to_f32(rng):
     assert np.abs(a - b).max() < 0.15 * max(1.0, np.abs(a).max())
 
 
+def test_bf16_activation_pipeline_active_in_eval(rng):
+    """The eval bf16 pipeline must genuinely run low-precision activations —
+    outputs measurably differ from f32 (on CPU the f32 matmul path is true
+    f32, so identical outputs would mean the flag is a no-op, the round-4
+    finding against the cast-inputs-only implementation) — while every
+    boundary output stays f32-typed."""
+    import dataclasses
+
+    cfg = PointNet2Config(output_sizes=(3, 4, 7), **TINY)
+    params, state = init_pointnet2(jax.random.PRNGKey(0), cfg)
+    P = jnp.array(rng.randn(2, 128, 3), jnp.float32)
+    out32, _ = apply_pointnet2(params, state, cfg, P, train=False)
+    cfg16 = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    out16, _ = apply_pointnet2(params, state, cfg16, P, train=False)
+    for k in ("global_feat", "point_feat"):
+        assert out16[k].dtype == jnp.float32, k
+    assert all(h.dtype == jnp.float32 for h in out16["heads"])
+    assert float(jnp.max(jnp.abs(out32["heads"][2] - out16["heads"][2]))) > 0
+
+    # training keeps f32 activations and f32 BN statistics (only matmul
+    # inputs are tagged bf16), so state updates track the f32 path closely
+    _, st32 = apply_pointnet2(
+        params, state, cfg, P, train=True, rng=jax.random.PRNGKey(1)
+    )
+    _, st16 = apply_pointnet2(
+        params, state, cfg16, P, train=True, rng=jax.random.PRNGKey(1)
+    )
+    m32 = st32["sa1"]["bns"][0]["mean"]
+    m16 = st16["sa1"]["bns"][0]["mean"]
+    assert m32.dtype == m16.dtype == jnp.float32
+    np.testing.assert_allclose(
+        np.asarray(m32), np.asarray(m16), rtol=0.05, atol=0.02
+    )
+
+
 def test_input_features_beyond_xyz(rng):
     """dim_input > dim_pos: extra per-point channels flow through SA1 grouping
     and the FP3 skip connection (reference pn2_network.py:41-45,58)."""

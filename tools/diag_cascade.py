@@ -1,6 +1,12 @@
 """Diagnose cascade degradation on specific clouds: per-patch local quality
 vs the merge/fusion stages (round-3 crossover investigation)."""
 
+# repo-root bootstrap: these scripts run as `python tools/<name>.py`, which
+# puts tools/ (not the repo root) on sys.path
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 

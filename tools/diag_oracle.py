@@ -9,6 +9,12 @@ fusion/sampling mechanics:
 Usage: python _diag_oracle.py [n_clouds] [spfn_eval_dir]
 """
 
+# repo-root bootstrap: these scripts run as `python tools/<name>.py`, which
+# puts tools/ (not the repo root) on sys.path
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import os
 import sys
 

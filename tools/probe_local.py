@@ -1,6 +1,12 @@
 """Matched-hard-IoU probe of a LocalSPFN checkpoint on patch corpora
 (round-3 recipe selection)."""
 
+# repo-root bootstrap: these scripts run as `python tools/<name>.py`, which
+# puts tools/ (not the repo root) on sys.path
+import os as _os
+import sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
 import glob
 import os
 import sys

@@ -25,6 +25,10 @@ import os
 import sys
 import time
 
+# repo-root bootstrap: run as `python tools/warmup_breakdown.py`, which puts
+# tools/ (not the repo root) on sys.path
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 N_HR = 100_000
