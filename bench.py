@@ -47,6 +47,13 @@ BF16 = os.environ.get("CPFN_BENCH_BF16", "") not in ("", "0")
 SHUFFLES = int(os.environ.get("CPFN_BENCH_SHUFFLES", "1"))
 # fused eval-mode Pallas MLP chains (ops/fused_mlp.py) in all three forwards
 FUSED = os.environ.get("CPFN_BENCH_FUSED", "") not in ("", "0")
+# bucketed two-phase cascade (CascadeRunner.run_clouds_bucketed): phase 2
+# dispatched at the smallest compiled width >= the cloud's patch count
+# instead of the fixed max_patches stack — identical outputs
+# (tests/test_cascade_buckets.py), ~fraction of the LocalSPFN compute on
+# typical few-patch clouds. R=1 only.
+BUCKETED = os.environ.get("CPFN_BENCH_BUCKETED", "") not in ("", "0")
+BUCKETS = (8, 16, 32)
 CKPT_DIR = os.environ.get("CPFN_BENCH_CKPT_DIR", "data_synth/checkpoints")
 BASELINE_CLOUDS_PER_SEC_PER_CHIP = 50.0 / 8.0
 
@@ -127,15 +134,27 @@ def main():
 
     log("warmup (compilation)...")
     t0 = time.time()
-    for out in runner.run_clouds_device(clouds[:N_WARMUP], lag=1):
-        np.asarray(out["hard"])
+    if BUCKETED and SHUFFLES == 1:
+        runner.precompile_buckets(clouds[0], BUCKETS)
+        for out in runner.run_clouds_bucketed(
+            clouds[:N_WARMUP], lag=1, buckets=BUCKETS
+        ):
+            np.asarray(out["hard"])
+        run_fn = lambda cs, lag: runner.run_clouds_bucketed(
+            cs, lag=lag, buckets=BUCKETS
+        )
+    else:
+        for out in runner.run_clouds_device(clouds[:N_WARMUP], lag=1):
+            np.asarray(out["hard"])
+        run_fn = runner.run_clouds_device
     log(f"warmup done in {time.time() - t0:.1f}s; "
         f"n_patches={int(out['n_patches'])}")
 
-    log(f"timing {N_CLOUDS} clouds (single-dispatch, lookahead 3)...")
+    mode = "bucketed two-phase" if BUCKETED and SHUFFLES == 1 else "single-dispatch"
+    log(f"timing {N_CLOUDS} clouds ({mode}, lookahead 3)...")
     t0 = time.time()
     n_patches_total = 0
-    for out in runner.run_clouds_device(clouds[N_WARMUP:], lag=3):
+    for out in run_fn(clouds[N_WARMUP:], lag=3):
         # materialize only the hard fused segmentation ([N] int32): forces
         # the pipeline to drain (block_until_ready does not on all PJRT
         # backends) without shipping the soft matrices over the wire
@@ -156,6 +175,8 @@ def main():
         suffix += f", ensemble x{SHUFFLES}"
     if FUSED:
         suffix += ", fused-mlp"
+    if BUCKETED and SHUFFLES == 1:
+        suffix += ", bucketed"
     print(
         json.dumps(
             {

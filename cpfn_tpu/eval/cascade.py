@@ -179,6 +179,10 @@ class CascadeRunner:
 
             @jax.jit
             def phase2_device(lp, ls, P_hr, idx, mask, W_hard, X_g, T_g):
+                # width-polymorphic: idx may be any [W, n] patch stack (the
+                # bucketed serving path calls this at W in {8, 16, 32}); the
+                # jit compiles one executable per width and the padded-width
+                # invariance is pinned by tests/test_cascade_buckets.py
                 patches = normalize_patches(P_hr, idx)
                 out, _ = apply_pointnet2(
                     lp, ls, local_model.cfg, patches, train=False
@@ -189,7 +193,7 @@ class CascadeRunner:
                     W_hard, W_p, idx, W_hard.shape[0]
                 )
                 labels = heuristic_merge_device(
-                    similarity, self.max_patches, k_g, k_l, 0.0
+                    similarity, idx.shape[0], k_g, k_l, 0.0
                 )
                 n_ids = similarity.shape[0] + k_l + k_g
                 fused = get_point_final(point2primitive, labels, n_ids)
@@ -343,11 +347,74 @@ class CascadeRunner:
             self._cascade_device_ps_raw = (
                 cascade_device_ps if patchselec_model is not None else None
             )
+
+            # Bucketed two-phase serving path (round 4): the single-dispatch
+            # graph always runs the LocalSPFN stack at the padded width of
+            # `max_patches`, but typical clouds extract ~6 patches — ~75% of
+            # the dominant stage is wasted on padding. Phase 1 (global fwd
+            # [+ patch selection] + on-device greedy extraction) is one
+            # dispatch; the host then reads ONLY the patch count (one scalar;
+            # the lookahead pipeline hides the sync) and dispatches phase 2
+            # at the smallest compiled width that fits. Outputs are identical
+            # to the full-width graph — phase 2 is width-polymorphic and
+            # padding-invariant (tests/test_cascade_buckets.py).
+            def phase1_device(gp, gs, P_hr, P_lr, pool_mask, key):
+                k_glob, k_patch, key = jax.random.split(key, 3)
+                # derive the permutation keys exactly as the R=1
+                # single-dispatch graph does (split(k, n_runs)[0]) so the
+                # bucketed path reproduces run_clouds_device bit-for-bit
+                k_glob = jax.random.split(k_glob, 1)[0]
+                k_patch = jax.random.split(k_patch, 1)[0]
+                gperm = jax.random.permutation(k_glob, P_hr.shape[0])
+                ginv = jnp.argsort(gperm)
+                out, _ = apply_pointnet2(
+                    gp, gs, global_model.cfg, P_hr[gperm][None], train=False
+                )
+                X_g, T_g, W_g = spfn_postprocess(out)
+                X_g, T_g, W_g = X_g[0][ginv], T_g[0][ginv], W_g[0][ginv]
+                W_hard = hard_W_encoding(W_g[None])[0]
+                idx, valid, count = sample_patches_device(
+                    P_lr, P_hr, pool_mask, key,
+                    num_points_patch=self.num_points_patch,
+                    max_number_patches=self.max_patches,
+                )
+                # point-order shuffle of the kNN-sorted index rows (the
+                # order-sensitivity fix, as in cascade_device)
+                pperm = jax.random.permutation(k_patch, idx.shape[1])
+                idx = idx[:, pperm]
+                return {
+                    "X_g": X_g, "T_g": T_g, "W_hard": W_hard,
+                    "global_feat": out["global_feat"][0],
+                    "point_feat": out["point_feat"][0][ginv],
+                    "idx": idx, "mask": valid.astype(jnp.float32),
+                    "count": count,
+                }
+
+            def phase1_device_ps(gp, gs, pp_, ps_, P_hr, P_lr, key):
+                k_ps, key = jax.random.split(key)
+                psperm = jax.random.permutation(k_ps, P_lr.shape[0])
+                psinv = jnp.argsort(psperm)
+                pout, _ = apply_pointnet2(
+                    pp_, ps_, patchselec_model.cfg,
+                    normalize_cloud(P_lr)[psperm][None], train=False,
+                )
+                pool_mask = (
+                    jnp.argmax(pout["heads"][0][0], axis=-1) == 1
+                )[psinv]
+                return phase1_device(gp, gs, P_hr, P_lr, pool_mask, key)
+
+            self._phase1_device = jax.jit(phase1_device)
+            self._phase1_device_ps = (
+                jax.jit(phase1_device_ps)
+                if patchselec_model is not None else None
+            )
         else:
             self._cascade_device = None
             self._cascade_device_ps = None
             self._cascade_device_raw = None
             self._cascade_device_ps_raw = None
+            self._phase1_device = None
+            self._phase1_device_ps = None
 
     def select_pool(self, P_lr: jax.Array) -> np.ndarray:
         """PatchSelection heatmap -> pool indices into the low-res cloud."""
@@ -502,6 +569,115 @@ class CascadeRunner:
             lm.params, lm.state, gm.params, gm.state,
             P_hr, P_lr, jnp.asarray(pool_mask, bool), key,
         )
+
+    def run_cloud_bucketed(self, staged, buckets=(8, 16, 32)):
+        """Phase 2 of the bucketed path for one phase-1 result: read the
+        patch count (the only host sync), pick the smallest bucket width
+        that fits, and dispatch the width-polymorphic fused back half."""
+        count = int(staged["count"])
+        width = self.max_patches
+        for b in sorted(buckets):
+            if count <= b:
+                width = min(b, self.max_patches)
+                break
+        lm = self.local_model
+        W_hard, X_g, T_g = staged["W_hard"], staged["X_g"], staged["T_g"]
+        if count > 0:
+            W_f, X_f, T_f, n_valid = self._phase2_device(
+                lm.params, lm.state, staged["P_hr_j"],
+                staged["idx"][:width], staged["mask"][:width],
+                W_hard, X_g, T_g,
+            )
+        else:
+            # the reference's global-only branch (empty patch pool)
+            k_g = self.n_max_global
+            out_w = max(self.out_width, k_g)
+            W_f = jnp.pad(W_hard, ((0, 0), (0, out_w - k_g)))
+            X_f, T_f, n_valid = X_g, T_g, None
+        return {
+            "W": W_f, "X": X_f, "T": T_f,
+            "hard": jnp.argmax(W_f, axis=1).astype(jnp.int32),
+            "global_W": W_hard, "global_X": X_g, "global_T": T_g,
+            "global_feat": staged["global_feat"],
+            "point_feat": staged["point_feat"],
+            "patch_indices": staged["idx"], "patch_valid": staged["mask"],
+            "n_patches": count, "n_clusters": n_valid,
+            "bucket_width": width if count > 0 else 0,
+        }
+
+    def precompile_buckets(self, cloud, buckets=(8, 16, 32), key=None):
+        """Compile phase 1 + phase 2 at every bucket width up front (one
+        phase-1 dispatch, then one phase-2 execution per width on sliced
+        padding) so the timed serving loop never hits a compile."""
+        P_hr, P_lr, pool_mask = cloud
+        key = key if key is not None else jax.random.PRNGKey(0)
+        P_hr_j = jnp.asarray(P_hr, jnp.float32)
+        P_lr_j = jnp.asarray(P_lr, jnp.float32)
+        gm, lm = self.global_model, self.local_model
+        if pool_mask is None:
+            m = self.patchselec_model
+            staged = self._phase1_device_ps(
+                gm.params, gm.state, m.params, m.state, P_hr_j, P_lr_j, key
+            )
+        else:
+            staged = self._phase1_device(
+                gm.params, gm.state, P_hr_j, P_lr_j,
+                jnp.asarray(pool_mask, bool), key,
+            )
+        outs = []
+        for b in sorted(set(min(b, self.max_patches) for b in buckets)):
+            outs.append(self._phase2_device(
+                lm.params, lm.state, P_hr_j,
+                staged["idx"][:b], staged["mask"][:b],
+                staged["W_hard"], staged["X_g"], staged["T_g"],
+            ))
+        # force materialization (block_until_ready is not a real barrier on
+        # tunneled runtimes)
+        for o in outs:
+            np.asarray(o[0].ravel()[:1])
+
+    def run_clouds_bucketed(
+        self, clouds, key=None, lag: int = 3, buckets=(8, 16, 32)
+    ):
+        """Bucketed two-phase cascade over (P_hr, P_lr, pool_mask_or_None)
+        tuples: phase 1 (global fwd + extraction) is dispatched `lag` clouds
+        ahead, the host reads each cloud's patch count, and phase 2 runs at
+        the smallest compiled bucket width that fits — identical outputs to
+        `run_clouds_device` at a fraction of the LocalSPFN compute on
+        typical (few-patch) clouds. R=1 only (the ensemble path stays on the
+        single-dispatch graph)."""
+        import collections
+
+        assert self.n_shuffles == 1, "bucketed path is single-forward (R=1)"
+        assert self._phase1_device is not None, "mesh mode: use run_cloud"
+        key = key if key is not None else jax.random.PRNGKey(0)
+        gm = self.global_model
+        pending = collections.deque()
+
+        def dispatch(cloud, sub):
+            P_hr, P_lr, pool_mask = cloud
+            P_hr = jnp.asarray(P_hr, jnp.float32)
+            P_lr = jnp.asarray(P_lr, jnp.float32)
+            if pool_mask is None:
+                m = self.patchselec_model
+                staged = self._phase1_device_ps(
+                    gm.params, gm.state, m.params, m.state, P_hr, P_lr, sub
+                )
+            else:
+                staged = self._phase1_device(
+                    gm.params, gm.state, P_hr, P_lr,
+                    jnp.asarray(pool_mask, bool), sub,
+                )
+            staged["P_hr_j"] = P_hr
+            return staged
+
+        for cloud in clouds:
+            key, sub = jax.random.split(key)
+            pending.append(dispatch(cloud, sub))
+            if len(pending) > lag:
+                yield self.run_cloud_bucketed(pending.popleft(), buckets)
+        while pending:
+            yield self.run_cloud_bucketed(pending.popleft(), buckets)
 
     def run_clouds_device(self, clouds, key=None, lag: int = 3):
         """Pipelined all-device cascade over (P_hr, P_lr, pool_mask_or_None)
