@@ -45,7 +45,7 @@ if [ ! -f data_synth2/eval_out_v9ens/Results.csv ]; then
     || echo "STAGE2-ENSEMBLE FAILED (non-fatal)"
 fi
 if [ -f data_synth2/eval_out_v9ens/Results.csv ]; then
-  python -m cpfn_tpu.eval.eval_baseline \
+  timeout 2400 python -m cpfn_tpu.eval.eval_baseline \
     --config_file configs/config_synth2_local_v9.yml \
     --highres_dataset data_synth2/highres \
     --dir_spfn data_synth2/globalspfn_eval_g2 --csv_dir data_synth2/Dataset \
@@ -63,7 +63,7 @@ if [ ! -f data_synth2/eval_out_v9bf16/Results.csv ]; then
 fi
 # 3b) bf16 global parity (64 clouds, fresh f32-vs-bf16 pair)
 if [ ! -f data_synth2/globalspfn_eval_bf16/Results.csv ]; then
-  python -m cpfn_tpu.eval.eval_global \
+  timeout 2400 python -m cpfn_tpu.eval.eval_global \
     --config_file configs/config_synth2_global_v2.yml \
     --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
     --csv_dir data_synth2/Dataset --path_patches data_synth2/patches \
@@ -148,7 +148,7 @@ bash scripts_archive_artifacts.sh "stage7 fused bench"
 # 8) ensemble-vs-ensemble (64 clouds): R=4 on BOTH sides — global artifacts
 #    regenerated with the shuffle ensemble, then baseline + cascade on them
 if [ ! -f data_synth2/globalspfn_eval_g2ens/Results.csv ]; then
-  python -m cpfn_tpu.eval.eval_global \
+  timeout 2400 python -m cpfn_tpu.eval.eval_global \
     --config_file configs/config_synth2_global_v2.yml \
     --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
     --csv_dir data_synth2/Dataset --path_patches data_synth2/patches \
@@ -157,12 +157,12 @@ if [ ! -f data_synth2/globalspfn_eval_g2ens/Results.csv ]; then
     || echo "STAGE8-GLOBALENS FAILED (non-fatal)"
 fi
 if [ -f data_synth2/globalspfn_eval_g2ens/Results.csv ]; then
-  python -m cpfn_tpu.eval.eval_baseline \
+  timeout 2400 python -m cpfn_tpu.eval.eval_baseline \
     --config_file configs/config_synth2_local_v9.yml \
     --highres_dataset data_synth2/highres \
     --dir_spfn data_synth2/globalspfn_eval_g2ens --csv_dir data_synth2/Dataset \
     --output_folder data_synth2/eval_out_bothens --first_n 64 \
-    && python -m cpfn_tpu.eval.eval_local --config_file configs/config_synth2_local_v9.yml \
+    && timeout 2400 python -m cpfn_tpu.eval.eval_local --config_file configs/config_synth2_local_v9.yml \
       --lowres_dataset data_synth2/lowres --highres_dataset data_synth2/highres \
       --dir_spfn data_synth2/globalspfn_eval_g2ens --dir_indices data_synth2/heatmaps \
       --csv_dir data_synth2/Dataset --scale 0.05 --weights $V9 --first_n 64 \
