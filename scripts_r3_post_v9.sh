@@ -73,9 +73,11 @@ if [ ! -f data_synth2/globalspfn_eval_bf16/Results.csv ]; then
 fi
 bash scripts_archive_artifacts.sh "stage3 bf16 parity"
 
-# 4) oracle ceiling vs the g2 baseline
-timeout 2400 python tools/diag_oracle.py 64 data_synth2/globalspfn_eval_g2 \
-  | tee data_synth2/eval_out_v9/oracle_g2.txt || echo "oracle stage timed out"
+# 4) oracle ceiling vs the g2 baseline (skip once recorded)
+if ! grep -q "oracle-cascade" data_synth2/eval_out_v9/oracle_g2.txt 2>/dev/null; then
+  timeout 2400 python tools/diag_oracle.py 64 data_synth2/globalspfn_eval_g2 \
+    | tee data_synth2/eval_out_v9/oracle_g2.txt || echo "oracle stage timed out"
+fi
 bash scripts_archive_artifacts.sh "stage4 oracle ceiling vs g2"
 
 # 4b) Mosaic-lowering validation of all Pallas kernels (incl. the new fused
