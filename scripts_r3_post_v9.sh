@@ -200,3 +200,18 @@ python -m cpfn_tpu.eval.compare --output_folder data_synth2/eval_out_v9e90 \
   | tee data_synth2/eval_out_v9e90/compare.txt
 bash scripts_archive_artifacts.sh
 echo "POST-V9 PIPELINE DONE"
+
+# 10) bucketed two-phase cascade bench (round-4 design work; parity already
+#     pinned by tests/test_cascade_buckets.py). If it beats the 9.02
+#     single-dispatch trained row, CPFN_BENCH_BUCKETED becomes the default.
+bench_stage bench_bucketed.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B CPFN_BENCH_BUCKETED=1
+bash scripts_archive_artifacts.sh "stage10 bucketed bench"
+
+# 11) ball-query chunk-width sweep on the bench shapes (the measured 48 ms
+#     bottleneck inside local_sa1) — picks the CPFN_BQ_CHUNK default.
+if [ ! -s $PERF/bq_sweep.json ]; then
+  timeout 2400 python tools/bq_sweep.py | tee $PERF/bq_sweep.json.part \
+    && mv $PERF/bq_sweep.json.part $PERF/bq_sweep.json \
+    || echo "BQ-SWEEP FAILED (non-fatal)"
+fi
+bash scripts_archive_artifacts.sh "stage11 bq sweep"
