@@ -195,6 +195,10 @@ def batch_iterator(
     (the reference's RandomSampler); `identical_epochs` re-seeds the
     permutation every pass (RandomSampler(identical_epochs=True))."""
     n = len(dataset)
+    if n == 0 or batch_size <= 0:
+        # empty dataset or degenerate batch (e.g. min(batch_size, 0) from an
+        # empty validation split): yield nothing instead of range(0, n, 0)
+        return
     if identical_epochs:
         rng = np.random.RandomState(seed)
     order = (

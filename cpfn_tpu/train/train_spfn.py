@@ -309,7 +309,7 @@ def main(argv=None):
                 break
         if args.max_steps and step_idx >= args.max_steps:
             break
-        if epoch % conf.val_interval == 0 and epoch > 0:
+        if epoch % conf.val_interval == 0 and epoch > 0 and len(val_ds) > 0:
             # Single-execution validation: the axon TPU runtime deterministically
             # kills the session on the SECOND execution of a (second-compiled)
             # executable containing the losses graph (minimal repro: one train

@@ -131,5 +131,8 @@ fi
 
 # ---- S10+: everything downstream of v9 (256-cloud headline, ensembles,
 # bf16 parity, oracle, benches, roofline, 90k extension)
-bash scripts_r3_post_v9.sh
+# propagate failure: an unconditional DONE echo here once let a crashed
+# post-v9 stage (empty-val-split batch_size=0) masquerade as completion and
+# shut down the recovery loop
+bash scripts_r3_post_v9.sh || exit 1
 echo "REBUILD PIPELINE DONE"

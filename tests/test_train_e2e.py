@@ -136,6 +136,11 @@ def test_batch_iterator(rng, tmp_path):
     assert len(batches) == 2
     assert batches[0]["P"].shape == (2, 256, 3)
     assert batches[0]["T_gt"].shape == (2, SCENE.n_max_instances)
+    # degenerate inputs must yield nothing, not crash: an empty validation
+    # split makes the trainer compute bs = min(batch_size, 0) = 0 (the
+    # round-4 v9e90 crash — range(0, n, 0) at the epoch-10 validation)
+    assert list(batch_iterator(ds, 0)) == []
+    assert list(batch_iterator([], 2)) == []
 
 
 def test_train_step_determinism(rng):
