@@ -54,6 +54,10 @@ FUSED = os.environ.get("CPFN_BENCH_FUSED", "") not in ("", "0")
 # typical few-patch clouds. R=1 only.
 BUCKETED = os.environ.get("CPFN_BENCH_BUCKETED", "") not in ("", "0")
 BUCKETS = (8, 16, 32)
+# clouds per batched patch-count fetch in the bucketed path: one stacked
+# device->host scalar read per GROUP clouds (the per-cloud read paid a full
+# tunnel RTT each — the round-4 measured regression, PERF.md)
+BUCKET_GROUP = int(os.environ.get("CPFN_BENCH_BUCKET_GROUP", "4"))
 CKPT_DIR = os.environ.get("CPFN_BENCH_CKPT_DIR", "data_synth/checkpoints")
 BASELINE_CLOUDS_PER_SEC_PER_CHIP = 50.0 / 8.0
 
@@ -137,11 +141,11 @@ def main():
     if BUCKETED and SHUFFLES == 1:
         runner.precompile_buckets(clouds[0], BUCKETS)
         for out in runner.run_clouds_bucketed(
-            clouds[:N_WARMUP], lag=1, buckets=BUCKETS
+            clouds[:N_WARMUP], lag=1, buckets=BUCKETS, group=BUCKET_GROUP
         ):
             np.asarray(out["hard"])
         run_fn = lambda cs, lag: runner.run_clouds_bucketed(
-            cs, lag=lag, buckets=BUCKETS
+            cs, lag=lag, buckets=BUCKETS, group=BUCKET_GROUP
         )
     else:
         for out in runner.run_clouds_device(clouds[:N_WARMUP], lag=1):

@@ -570,11 +570,12 @@ class CascadeRunner:
             P_hr, P_lr, jnp.asarray(pool_mask, bool), key,
         )
 
-    def run_cloud_bucketed(self, staged, buckets=(8, 16, 32)):
+    def run_cloud_bucketed(self, staged, buckets=(8, 16, 32), count=None):
         """Phase 2 of the bucketed path for one phase-1 result: read the
-        patch count (the only host sync), pick the smallest bucket width
+        patch count (the only host sync — pass `count` to reuse a batched
+        fetch, see `run_clouds_bucketed`), pick the smallest bucket width
         that fits, and dispatch the width-polymorphic fused back half."""
-        count = int(staged["count"])
+        count = int(staged["count"]) if count is None else int(count)
         width = self.max_patches
         for b in sorted(buckets):
             if count <= b:
@@ -637,22 +638,30 @@ class CascadeRunner:
             np.asarray(o[0].ravel()[:1])
 
     def run_clouds_bucketed(
-        self, clouds, key=None, lag: int = 3, buckets=(8, 16, 32)
+        self, clouds, key=None, lag: int = 3, buckets=(8, 16, 32),
+        group: int = 4,
     ):
         """Bucketed two-phase cascade over (P_hr, P_lr, pool_mask_or_None)
-        tuples: phase 1 (global fwd + extraction) is dispatched `lag` clouds
-        ahead, the host reads each cloud's patch count, and phase 2 runs at
-        the smallest compiled bucket width that fits — identical outputs to
+        tuples: phase 1 (global fwd + extraction) is dispatched for `group`
+        clouds at a time, the host reads the whole group's patch counts in
+        ONE stacked scalar transfer, and each cloud's phase 2 runs at the
+        smallest compiled bucket width that fits — identical outputs to
         `run_clouds_device` at a fraction of the LocalSPFN compute on
-        typical (few-patch) clouds. R=1 only (the ensemble path stays on the
-        single-dispatch graph)."""
-        import collections
+        typical (few-patch) clouds.
 
+        Grouping is the round-4 fix for the naive per-cloud `int(count)`
+        sync: on the tunneled runtime one device->host read costs a full
+        RTT that exceeded the compute phase 2 saves (measured 5.93 vs 9.02
+        clouds/s). One group of phase-1 dispatches is kept in flight while
+        the previous group's counts are fetched, so the device never
+        drains during the read. `lag` is kept for API compatibility
+        (group-lookahead subsumes it). R=1 only (the ensemble path stays
+        on the single-dispatch graph)."""
         assert self.n_shuffles == 1, "bucketed path is single-forward (R=1)"
         assert self._phase1_device is not None, "mesh mode: use run_cloud"
         key = key if key is not None else jax.random.PRNGKey(0)
+        group = max(1, int(group))
         gm = self.global_model
-        pending = collections.deque()
 
         def dispatch(cloud, sub):
             P_hr, P_lr, pool_mask = cloud
@@ -671,13 +680,31 @@ class CascadeRunner:
             staged["P_hr_j"] = P_hr
             return staged
 
+        def fetch_counts(staged_group):
+            if not staged_group:
+                return []
+            if len(staged_group) == 1:
+                return [int(staged_group[0]["count"])]
+            # one stacked transfer for the whole group (the tiny concat
+            # graph compiles once per distinct group length)
+            return np.asarray(
+                jnp.stack([s["count"] for s in staged_group])
+            ).tolist()
+
+        def drain(staged_group):
+            for s, c in zip(staged_group, fetch_counts(staged_group)):
+                yield self.run_cloud_bucketed(s, buckets, count=c)
+
+        prev = []
+        cur = []
         for cloud in clouds:
             key, sub = jax.random.split(key)
-            pending.append(dispatch(cloud, sub))
-            if len(pending) > lag:
-                yield self.run_cloud_bucketed(pending.popleft(), buckets)
-        while pending:
-            yield self.run_cloud_bucketed(pending.popleft(), buckets)
+            cur.append(dispatch(cloud, sub))
+            if len(cur) == group:
+                yield from drain(prev)
+                prev, cur = cur, []
+        yield from drain(prev)
+        yield from drain(cur)
 
     def run_clouds_device(self, clouds, key=None, lag: int = 3):
         """Pipelined all-device cascade over (P_hr, P_lr, pool_mask_or_None)

@@ -66,7 +66,15 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, dist_ref, *, num_samples, n_pad):
     lax.fori_loop(1, num_samples, body, jnp.int32(0))
 
 
-_BQ_CHUNK = 1024  # default points-per-inner-step (see ball_query_pallas)
+# Default points-per-inner-step (see ball_query_pallas). Round-4 sweep on
+# the v5e (tools/bq_sweep.py, artifacts_r4/perf_r3/bq_sweep.json): per-trip
+# latency dominates, so wider is monotonically faster — with the
+# Hillis-Steele rank scan (which removed the W x W ranking-matmul VMEM cap)
+# W=8192 measures 12.3 ms vs 48.6 at the old 1024 default on the local-SA1
+# shape (32x8192x512) and 6.4 vs 20.3 ms on the global (1x100k x512).
+# Calls clamp the chunk to the padded point count, so small-N call sites
+# (SA2/SA3) never pay pure-padding trips.
+_BQ_CHUNK = 8192
 
 
 def _ball_query_kernel(
@@ -102,13 +110,20 @@ def _ball_query_kernel(
     buf_ref[:] = jnp.full((128, K), BIG, jnp.int32)
     count_ref[:] = jnp.zeros((128, 128), jnp.int32)
     lane = lax.broadcasted_iota(jnp.int32, (1, W), 1)
-    # inclusive-cumsum operator over the chunk (values <= W << 2^24: exact
-    # in f32)
-    tri = (
-        lax.broadcasted_iota(jnp.int32, (W, W), 0)
-        <= lax.broadcasted_iota(jnp.int32, (W, W), 1)
-    ).astype(jnp.float32)
+    lane_q = lax.broadcasted_iota(jnp.int32, (128, W), 1)
     slot_iota = lax.broadcasted_iota(jnp.int32, (128, K), 1)
+
+    def _rank_scan(hit_i):
+        # inclusive prefix sum along lanes via log2(W) rolled adds (a
+        # Hillis-Steele scan): O(W log W) VPU work and no W x W operand —
+        # the earlier triangular-ones MXU matmul was O(W^2) and its tri
+        # matrix capped the chunk width at 2048 f32 in VMEM.
+        r = hit_i
+        off = 1
+        while off < W:
+            r = r + jnp.where(lane_q >= off, pltpu.roll(r, off, axis=1), 0)
+            off *= 2
+        return r
 
     def cond(c):
         return (c < C) & (jnp.min(count_ref[:, 0]) < K)
@@ -123,10 +138,7 @@ def _ball_query_kernel(
         d2 = qn + pn - 2.0 * dot
         flat = c * W + lane  # [1, W] global point index
         hit = (d2 < radius_sqr) & (flat < n_points)
-        hit_f = hit.astype(jnp.float32)
-        rank = jnp.dot(
-            hit_f, tri, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)  # [128, W]
+        rank = _rank_scan(hit.astype(jnp.int32))  # [128, W]
         nhits = rank[:, W - 1][:, None]  # [128, 1]
         count = count_ref[:, 0][:, None]  # [128, 1]
         # any new hits for queries that still have open slots?
@@ -181,6 +193,8 @@ def ball_query_pallas(
         chunk = int(os.environ.get("CPFN_BQ_CHUNK", str(_BQ_CHUNK)))
     assert chunk % 128 == 0 and chunk > 0
     B, N, _ = points.shape
+    # wider-than-N chunks would only add padding work: clamp to padded N
+    chunk = min(chunk, -(-N // 128) * 128)
     S = queries.shape[1]
     assert num_samples <= 128
     # Sort queries by distance to the scan origin (points[:, 0]) so each
@@ -229,6 +243,12 @@ def ball_query_pallas(
             pltpu.VMEM((128, 128), jnp.int32),
             pltpu.VMEM((128, num_samples), jnp.int32),
         ],
+        # the Hillis-Steele rank scan keeps a few [128, W] i32 temporaries
+        # live; at W >= 4096 that exceeds the default 16MB scoped-VMEM cap
+        # (measured 18.2MB at W=4096) while fitting the chip's VMEM easily
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
     )(x, y, z, queries)
     return jnp.take_along_axis(out[:, :S], inv_order[..., None], axis=1)
 

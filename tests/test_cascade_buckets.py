@@ -101,6 +101,26 @@ def test_bucketed_matches_single_dispatch(runner):
         )
 
 
+def test_bucketed_grouped_fetch_parity(runner):
+    """group=2 over 5 clouds (two full groups + remainder): the batched
+    patch-count fetch path yields the same stream as group=1."""
+    clouds = [_cloud(s) for s in range(5, 10)]
+    key = jax.random.PRNGKey(11)
+    ref = list(
+        runner.run_clouds_bucketed(clouds, key=key, buckets=(4, 8), group=1)
+    )
+    got = list(
+        runner.run_clouds_bucketed(clouds, key=key, buckets=(4, 8), group=2)
+    )
+    assert len(ref) == len(got) == 5
+    for r, g in zip(ref, got):
+        assert int(r["n_patches"]) == int(g["n_patches"])
+        assert r["bucket_width"] == g["bucket_width"]
+        np.testing.assert_allclose(
+            np.asarray(r["hard"]), np.asarray(g["hard"]), err_msg="hard"
+        )
+
+
 def test_bucketed_ps_pool_path(runner):
     """pool_mask=None routes through the patch-selection phase-1 graph."""
     P_hr, P_lr, _ = _cloud(4)

@@ -69,7 +69,7 @@ def test_ball_query_pallas_chunk_widths_on_tpu(rng):
     idx = ops.farthest_point_sample(P, S)
     Q = ops.gather_points(P, idx)
     a = np.asarray(ops.ball_query(P, Q, r, K, impl="xla"))
-    for chunk in (256, 512, 2048):
+    for chunk in (256, 512, 2048, 4096, 8192):
         b = np.asarray(ball_query_pallas(P, Q, r, K, chunk=chunk))
         np.testing.assert_array_equal(a, b, err_msg=f"chunk={chunk}")
 
