@@ -167,7 +167,11 @@ def subsample_lowres_file(
         )
         idx = np.concatenate([seed_idx, rest_idx])
     assert len(np.unique(gt_labels)) == len(np.unique(gt_labels[idx]))
-    with h5py.File(lowres_path, "w") as f:
+    # tmp + atomic replace: a killed/raced writer must never leave a partial
+    # file that --skip_existing would then silently accept (observed risk
+    # when a stall watchdog killed a run mid-write)
+    tmp_path = lowres_path + ".tmp"
+    with h5py.File(tmp_path, "w") as f:
         f.create_dataset("gt_points", data=gt_points[idx])
         f.create_dataset("gt_normals", data=gt_normals[idx])
         f.create_dataset("gt_labels", data=gt_labels[idx])
@@ -178,6 +182,7 @@ def subsample_lowres_file(
             grp["gt_points"] = grp_data["gt_points"]
             grp["gt_normals"] = grp_data["gt_normals"]
             grp.attrs["meta"] = grp_data["meta"]
+    os.replace(tmp_path, lowres_path)
     return True
 
 
@@ -211,7 +216,10 @@ def main(argv=None):
 
     def work(i_file):
         i, file_ = i_file
-        if i % 100 == 0:
+        # every 25: the stall watchdogs treat a quiet log as a hung tunnel
+        # dispatch (observed: a 600 s window expired during first-compile +
+        # the first 100-cloud gap and killed a healthy run)
+        if i % 25 == 0:
             print(f"{i} / {len(files)}", flush=True)
         return subsample_lowres_file(
             os.path.join(args.path_highres, file_),

@@ -18,6 +18,26 @@ set -u
 LOG=$1; STALL=$2; MAX_RESTARTS=$3; shift 3
 [ "$1" = "--" ] && shift
 
+# Kill PID 1's whole descendant tree by exact PIDs (children first is not
+# needed — we gather the full list, then signal every PID and the group).
+# Group-kill alone is NOT enough: GNU `timeout` puts its child in a NEW
+# process group by default, so `kill -- -pgid` missed `timeout python ...`
+# subtrees and orphaned live trainers/preprocessors (observed twice:
+# checkpoints_v9 round 4, lowres extension round 4).
+kill_tree() {  # kill_tree ROOT_PID SIGNAL
+  local pids="$1" frontier="$1" next csv
+  while :; do
+    # shellcheck disable=SC2086
+    csv=$(set -- $frontier; IFS=,; echo "$*")  # no stray commas: ps rejects them
+    next=$(ps -o pid= --ppid "$csv" 2>/dev/null | tr -s ' \n' ' ')
+    [ -n "${next// /}" ] || break
+    pids="$pids $next"; frontier="$next"
+  done
+  kill "-$2" -- -"$1" 2>/dev/null  # the setsid group
+  # shellcheck disable=SC2086
+  kill "-$2" $pids 2>/dev/null     # plus every descendant by exact PID
+}
+
 restarts=0
 while :; do
   setsid "$@" >> "$LOG" 2>&1 &
@@ -28,8 +48,8 @@ while :; do
     if [ -f "$LOG" ]; then
       age=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
       if [ "$age" -gt "$STALL" ]; then
-        echo "[watchdog] log quiet ${age}s > ${STALL}s; killing group $pid" >> "$LOG"
-        kill -- -"$pid" 2>/dev/null; sleep 5; kill -9 -- -"$pid" 2>/dev/null
+        echo "[watchdog] log quiet ${age}s > ${STALL}s; killing tree $pid" >> "$LOG"
+        kill_tree "$pid" TERM; sleep 5; kill_tree "$pid" KILL
         break
       fi
     fi
@@ -37,8 +57,8 @@ while :; do
   wait "$pid" 2>/dev/null
   status=$?
   if kill -0 "$pid" 2>/dev/null; then status=1; fi
-  # belt-and-braces: no survivors from the old group before relaunching
-  kill -9 -- -"$pid" 2>/dev/null
+  # belt-and-braces: no survivors from the old tree before relaunching
+  kill_tree "$pid" KILL
   # natural exit (0 = done; nonzero without a stall kill = real failure)
   if [ "$status" -eq 0 ]; then
     echo "[watchdog] command finished ok" >> "$LOG"; exit 0
