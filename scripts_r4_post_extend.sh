@@ -1,0 +1,52 @@
+#!/bin/bash
+# Round-4 POST-EXTENSION measurement queue (TPU-exclusive; launched only
+# after scripts_r4_extend.sh prints its DONE marker):
+#   M1. post-ball-query-rework roofline rows — the PERF.md round-4 roofline
+#       predates the W=8192 scan kernel; local_sa1 (64 ms, the decisive row)
+#       should now show the 4x op-level win end-to-end.
+#   M2. bucketed-cascade dispatch-overhead diagnosis (tools/bucket_diag.py):
+#       settles whether per-dispatch tunnel overhead is the 5.3-vs-9.4 binder.
+#   M3. final trained+patch-selection headline bench (post-rework) — the
+#       number BENCH_r04 should reproduce.
+#   M4. bucketed bench at a wider fetch group (G=12) to anchor the diag.
+# Every stage skip-if-done + archived/committed immediately.
+set -x
+cd /root/repo
+PERF=data_synth2/perf_r4
+mkdir -p $PERF
+B=data_synth2/checkpoints_bench_r3
+[ -d $B ] || { echo "bench ckpts missing"; exit 1; }
+
+roofline_stage() {  # roofline_stage OUTNAME ARGS...
+  local out=$PERF/$1; shift
+  if [ -s "$out" ]; then return 0; fi
+  timeout 2400 python -m cpfn_tpu.utils.roofline "$@" | tee "$out.part" \
+    && mv "$out.part" "$out"
+}
+bench_stage() {  # bench_stage OUTNAME ENV...
+  local out=$PERF/$1; shift
+  if grep -q '"metric"' "$out" 2>/dev/null; then return 0; fi
+  timeout 1800 env "$@" python bench.py 2> "$out.err" | tee "$out"
+  tail -4 "$out.err" >&2
+}
+
+# M1: post-rework roofline (same graph set as the round-4 table)
+roofline_stage roofline_postbq_f32.json
+bash scripts_archive_artifacts.sh "postextend roofline post-bq-rework"
+
+# M2: bucketed dispatch diagnosis
+if [ ! -s $PERF/bucket_diag.json ]; then
+  timeout 2400 python tools/bucket_diag.py | tee $PERF/bucket_diag.json.part \
+    && mv $PERF/bucket_diag.json.part $PERF/bucket_diag.json \
+    || echo "BUCKET-DIAG FAILED (non-fatal)"
+fi
+bash scripts_archive_artifacts.sh "postextend bucket diag"
+
+# M3: final headline bench (trained + patch selection, W=8192 default)
+bench_stage bench_final_trained.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B
+# M4: bucketed at G=12
+bench_stage bench_bucketed_g12.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B \
+  CPFN_BENCH_BUCKETED=1 CPFN_BENCH_BUCKET_GROUP=12
+bash scripts_archive_artifacts.sh "postextend final benches"
+
+echo "POST-EXTEND PIPELINE DONE"
