@@ -58,6 +58,14 @@ BUCKETS = (8, 16, 32)
 # device->host scalar read per GROUP clouds (the per-cloud read paid a full
 # tunnel RTT each — the round-4 measured regression, PERF.md)
 BUCKET_GROUP = int(os.environ.get("CPFN_BENCH_BUCKET_GROUP", "4"))
+# packed serving path (CascadeRunner.run_clouds_packed): phase 1 vmapped
+# over PACK_GROUP clouds per dispatch, phase 2 vmapped at PACK_WIDTH for
+# the whole group (overflow clouds re-run at a wider bucket) — identical
+# outputs (tests/test_cascade_packed.py), fewer dispatches per cloud than
+# single-dispatch AND a fraction of the padded LocalSPFN compute. R=1 only.
+PACKED = os.environ.get("CPFN_BENCH_PACKED", "") not in ("", "0")
+PACK_GROUP = int(os.environ.get("CPFN_BENCH_PACK_GROUP", "4"))
+PACK_WIDTH = int(os.environ.get("CPFN_BENCH_PACK_WIDTH", "8"))
 CKPT_DIR = os.environ.get("CPFN_BENCH_CKPT_DIR", "data_synth/checkpoints")
 BASELINE_CLOUDS_PER_SEC_PER_CHIP = 50.0 / 8.0
 
@@ -138,7 +146,19 @@ def main():
 
     log("warmup (compilation)...")
     t0 = time.time()
-    if BUCKETED and SHUFFLES == 1:
+    if PACKED and SHUFFLES == 1:
+        # compile the overflow (wider-bucket) phase-2 graphs up front, then
+        # the group-shaped packed graphs via a padded warmup group
+        runner.precompile_buckets(clouds[0], BUCKETS)
+        for out in runner.run_clouds_packed(
+            clouds[:N_WARMUP], group=PACK_GROUP, width=PACK_WIDTH,
+            buckets=BUCKETS,
+        ):
+            np.asarray(out["hard"])
+        run_fn = lambda cs, lag: runner.run_clouds_packed(
+            cs, group=PACK_GROUP, width=PACK_WIDTH, buckets=BUCKETS
+        )
+    elif BUCKETED and SHUFFLES == 1:
         runner.precompile_buckets(clouds[0], BUCKETS)
         for out in runner.run_clouds_bucketed(
             clouds[:N_WARMUP], lag=1, buckets=BUCKETS, group=BUCKET_GROUP
@@ -154,7 +174,12 @@ def main():
     log(f"warmup done in {time.time() - t0:.1f}s; "
         f"n_patches={int(out['n_patches'])}")
 
-    mode = "bucketed two-phase" if BUCKETED and SHUFFLES == 1 else "single-dispatch"
+    if PACKED and SHUFFLES == 1:
+        mode = f"packed g{PACK_GROUP}w{PACK_WIDTH}"
+    elif BUCKETED and SHUFFLES == 1:
+        mode = "bucketed two-phase"
+    else:
+        mode = "single-dispatch"
     log(f"timing {N_CLOUDS} clouds ({mode}, lookahead 3)...")
     t0 = time.time()
     n_patches_total = 0
@@ -179,7 +204,9 @@ def main():
         suffix += f", ensemble x{SHUFFLES}"
     if FUSED:
         suffix += ", fused-mlp"
-    if BUCKETED and SHUFFLES == 1:
+    if PACKED and SHUFFLES == 1:
+        suffix += f", packed g{PACK_GROUP}w{PACK_WIDTH}"
+    elif BUCKETED and SHUFFLES == 1:
         suffix += ", bucketed"
     print(
         json.dumps(

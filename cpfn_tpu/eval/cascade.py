@@ -206,8 +206,33 @@ class CascadeRunner:
                 return W_f, X_f, T_f, n_valid
 
             self._phase2_device = phase2_device
+
+            def phase2_packed(lp, ls, P_hr, idx, mask, W_hard, X_g, T_g,
+                              count):
+                """Per-cloud phase-2 body for the PACKED serving path
+                (vmapped over a group of clouds): the fused back half plus
+                the empty-pool global-only fallback and the hard argmax,
+                so one packed dispatch returns exactly what the
+                single-dispatch graph returns for these outputs — no
+                per-cloud follow-up dispatches (the bucketed path's
+                separate argmax/fallback ops each cost a dispatch, which
+                tools/bucket_diag.py measured as the binder)."""
+                W_f, X_f, T_f, n_valid = phase2_device(
+                    lp, ls, P_hr, idx, mask, W_hard, X_g, T_g
+                )
+                width = max(self.out_width, k_g)
+                W_glob = jnp.pad(W_hard, ((0, 0), (0, width - k_g)))
+                W_f = jnp.where(count > 0, W_f, W_glob)
+                hard = jnp.argmax(W_f, axis=1).astype(jnp.int32)
+                return W_f, X_f, T_f, n_valid, hard
+
+            self._phase2_packed = jax.jit(jax.vmap(
+                phase2_packed,
+                in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0),
+            ))
         else:
             self._phase2_device = None
+            self._phase2_packed = None
 
         def normalize_cloud(P):
             P = P - jnp.mean(P, axis=0)
@@ -408,6 +433,20 @@ class CascadeRunner:
                 jax.jit(phase1_device_ps)
                 if patchselec_model is not None else None
             )
+            # group-vmapped phase-1 graphs for the packed serving path:
+            # one dispatch covers `group` clouds' global forwards +
+            # extractions, and the stacked `count` output makes the
+            # per-group patch-count fetch a single array transfer
+            self._phase1_batch = jax.jit(jax.vmap(
+                phase1_device, in_axes=(None, None, 0, 0, 0, 0)
+            ))
+            self._phase1_batch_ps = (
+                jax.jit(jax.vmap(
+                    phase1_device_ps,
+                    in_axes=(None, None, None, None, 0, 0, 0),
+                ))
+                if patchselec_model is not None else None
+            )
         else:
             self._cascade_device = None
             self._cascade_device_ps = None
@@ -415,6 +454,8 @@ class CascadeRunner:
             self._cascade_device_ps_raw = None
             self._phase1_device = None
             self._phase1_device_ps = None
+            self._phase1_batch = None
+            self._phase1_batch_ps = None
 
     def select_pool(self, P_lr: jax.Array) -> np.ndarray:
         """PatchSelection heatmap -> pool indices into the low-res cloud."""
@@ -705,6 +746,133 @@ class CascadeRunner:
                 prev, cur = cur, []
         yield from drain(prev)
         yield from drain(cur)
+
+    def run_clouds_packed(
+        self, clouds, key=None, group: int = 4, width: int = 8,
+        buckets=(8, 16, 32),
+    ):
+        """PACKED serving path (round 4): phase 1 for `group` clouds in ONE
+        vmapped dispatch, one stacked patch-count transfer per group, then
+        ONE vmapped phase-2 dispatch at `width` covering every cloud whose
+        patch count fits; overflow clouds (count > width) re-run phase 2
+        individually at the smallest bucket width that fits and their
+        packed-row results are discarded.
+
+        This attacks BOTH measured costs of the per-cloud paths at once:
+        the padded LocalSPFN compute (the single-dispatch graph always pays
+        the `max_patches`-wide stack; measured clouds average ~6.3 patches)
+        and the per-dispatch tunnel overhead that made the per-cloud
+        bucketed path a regression (5.3 vs 9.4 clouds/s — see
+        tools/bucket_diag.py and PERF.md round 4). Device ops per group:
+        1 phase-1 + 1 phase-2 + 1 stacked count read + 1 stacked hard-label
+        transfer (vs 3+ dispatches per CLOUD bucketed).
+
+        Fused outputs (W/X/T/hard) are bit-identical to run_clouds_device —
+        per-cloud keys derive identically, phase 2 is width-polymorphic and
+        padding-invariant (tests/test_cascade_packed.py). One group is kept
+        in flight while the previous group drains. R=1 only. Yields results
+        in input order; `hard` rows are host numpy (already transferred)."""
+        assert self.n_shuffles == 1, "packed path is single-forward (R=1)"
+        assert self._phase1_batch is not None, "mesh mode: use run_cloud"
+        key = key if key is not None else jax.random.PRNGKey(0)
+        group = max(1, int(group))
+        width = min(int(width), self.max_patches)
+        gm, lm = self.global_model, self.local_model
+
+        def dispatch(batch):
+            # batch: [((P_hr, P_lr, pool_or_None), sub_key)] * <=group;
+            # short tail groups are padded by repeating the first entry so
+            # one (group, ...) executable serves every dispatch — padded
+            # rows are dropped at drain time
+            n = len(batch)
+            full = batch + [batch[0]] * (group - n)
+            P_hr = jnp.stack(
+                [jnp.asarray(c[0][0], jnp.float32) for c in full]
+            )
+            P_lr = jnp.stack(
+                [jnp.asarray(c[0][1], jnp.float32) for c in full]
+            )
+            keys_ = jnp.stack([c[1] for c in full])
+            if full[0][0][2] is None:
+                m = self.patchselec_model
+                staged = self._phase1_batch_ps(
+                    gm.params, gm.state, m.params, m.state,
+                    P_hr, P_lr, keys_,
+                )
+            else:
+                pool = jnp.stack(
+                    [jnp.asarray(c[0][2], bool) for c in full]
+                )
+                staged = self._phase1_batch(
+                    gm.params, gm.state, P_hr, P_lr, pool, keys_
+                )
+            return staged, P_hr, n
+
+        def drain(batch):
+            if batch is None:
+                return
+            staged, P_hr, n = batch
+            counts = np.asarray(staged["count"])[:n].astype(int).tolist()
+            W_f, X_f, T_f, n_valid, hard = self._phase2_packed(
+                lm.params, lm.state, P_hr,
+                staged["idx"][:, :width], staged["mask"][:, :width],
+                staged["W_hard"], staged["X_g"], staged["T_g"],
+                staged["count"],
+            )
+            hard_np = np.asarray(hard[:n])  # one [n, N] transfer per group
+            for i in range(n):
+                c = counts[i]
+                if c <= width:
+                    out = {
+                        "W": W_f[i], "X": X_f[i], "T": T_f[i],
+                        "hard": hard_np[i], "n_clusters": n_valid[i],
+                        "bucket_width": width if c > 0 else 0,
+                    }
+                else:
+                    w2 = self.max_patches
+                    for b in sorted(buckets):
+                        if c <= b:
+                            w2 = min(b, self.max_patches)
+                            break
+                    Wf1, Xf1, Tf1, nv1 = self._phase2_device(
+                        lm.params, lm.state, P_hr[i],
+                        staged["idx"][i, :w2], staged["mask"][i, :w2],
+                        staged["W_hard"][i], staged["X_g"][i],
+                        staged["T_g"][i],
+                    )
+                    out = {
+                        "W": Wf1, "X": Xf1, "T": Tf1,
+                        "hard": np.asarray(
+                            jnp.argmax(Wf1, axis=1).astype(jnp.int32)
+                        ),
+                        "n_clusters": nv1, "bucket_width": w2,
+                    }
+                out.update(
+                    global_W=staged["W_hard"][i],
+                    global_X=staged["X_g"][i],
+                    global_T=staged["T_g"][i],
+                    global_feat=staged["global_feat"][i],
+                    point_feat=staged["point_feat"][i],
+                    patch_indices=staged["idx"][i],
+                    patch_valid=staged["mask"][i],
+                    n_patches=c,
+                )
+                yield out
+
+        prev = None
+        cur = []
+        for cloud in clouds:
+            key, sub = jax.random.split(key)
+            cur.append((cloud, sub))
+            if len(cur) == group:
+                nxt = dispatch(cur)
+                yield from drain(prev)
+                prev, cur = nxt, []
+        if cur:
+            nxt = dispatch(cur)
+            yield from drain(prev)
+            prev = nxt
+        yield from drain(prev)
 
     def run_clouds_device(self, clouds, key=None, lag: int = 3):
         """Pipelined all-device cascade over (P_hr, P_lr, pool_mask_or_None)

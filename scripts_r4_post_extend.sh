@@ -49,4 +49,13 @@ bench_stage bench_bucketed_g12.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B 
   CPFN_BENCH_BUCKETED=1 CPFN_BENCH_BUCKET_GROUP=12
 bash scripts_archive_artifacts.sh "postextend final benches"
 
+# M5: PACKED serving path (group-vmapped phase1 + phase2; the round-4
+# response to the bucketed regression — fewer dispatches AND less padded
+# compute; parity pinned by tests/test_cascade_packed.py)
+bench_stage bench_packed_g4w8.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B \
+  CPFN_BENCH_PACKED=1 CPFN_BENCH_PACK_GROUP=4 CPFN_BENCH_PACK_WIDTH=8
+bench_stage bench_packed_g8w8.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B \
+  CPFN_BENCH_PACKED=1 CPFN_BENCH_PACK_GROUP=8 CPFN_BENCH_PACK_WIDTH=8
+bash scripts_archive_artifacts.sh "postextend packed benches"
+
 echo "POST-EXTEND PIPELINE DONE"
