@@ -56,6 +56,10 @@ bench_stage bench_packed_g4w8.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B \
   CPFN_BENCH_PACKED=1 CPFN_BENCH_PACK_GROUP=4 CPFN_BENCH_PACK_WIDTH=8
 bench_stage bench_packed_g8w8.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B \
   CPFN_BENCH_PACKED=1 CPFN_BENCH_PACK_GROUP=8 CPFN_BENCH_PACK_WIDTH=8
+# oracle-mode packed (the driver's default bench mode — decides whether
+# CPFN_BENCH_PACKED becomes the default before BENCH_r04 is recorded)
+bench_stage bench_packed_oracle_g4w8.json \
+  CPFN_BENCH_PACKED=1 CPFN_BENCH_PACK_GROUP=4 CPFN_BENCH_PACK_WIDTH=8
 bash scripts_archive_artifacts.sh "postextend packed benches"
 
 echo "POST-EXTEND PIPELINE DONE"
