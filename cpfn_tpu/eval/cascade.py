@@ -208,7 +208,7 @@ class CascadeRunner:
             self._phase2_device = phase2_device
 
             def phase2_packed(lp, ls, P_hr, idx, mask, W_hard, X_g, T_g,
-                              count):
+                              count, width):
                 """Per-cloud phase-2 body for the PACKED serving path
                 (vmapped over a group of clouds): the fused back half plus
                 the empty-pool global-only fallback and the hard argmax,
@@ -216,20 +216,27 @@ class CascadeRunner:
                 single-dispatch graph returns for these outputs — no
                 per-cloud follow-up dispatches (the bucketed path's
                 separate argmax/fallback ops each cost a dispatch, which
-                tools/bucket_diag.py measured as the binder)."""
+                tools/bucket_diag.py measured as the binder). Takes the
+                FULL-width idx/mask and slices to the static packed width
+                inside the graph (host-side slices of device arrays would
+                each be their own dispatch)."""
                 W_f, X_f, T_f, n_valid = phase2_device(
-                    lp, ls, P_hr, idx, mask, W_hard, X_g, T_g
+                    lp, ls, P_hr, idx[:width], mask[:width],
+                    W_hard, X_g, T_g,
                 )
-                width = max(self.out_width, k_g)
-                W_glob = jnp.pad(W_hard, ((0, 0), (0, width - k_g)))
+                out_w = max(self.out_width, k_g)
+                W_glob = jnp.pad(W_hard, ((0, 0), (0, out_w - k_g)))
                 W_f = jnp.where(count > 0, W_f, W_glob)
                 hard = jnp.argmax(W_f, axis=1).astype(jnp.int32)
                 return W_f, X_f, T_f, n_valid, hard
 
-            self._phase2_packed = jax.jit(jax.vmap(
-                phase2_packed,
-                in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0),
-            ))
+            self._phase2_packed = jax.jit(
+                jax.vmap(
+                    phase2_packed,
+                    in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, None),
+                ),
+                static_argnums=9,
+            )
         else:
             self._phase2_device = None
             self._phase2_packed = None
@@ -815,11 +822,11 @@ class CascadeRunner:
             counts = np.asarray(staged["count"])[:n].astype(int).tolist()
             W_f, X_f, T_f, n_valid, hard = self._phase2_packed(
                 lm.params, lm.state, P_hr,
-                staged["idx"][:, :width], staged["mask"][:, :width],
+                staged["idx"], staged["mask"],
                 staged["W_hard"], staged["X_g"], staged["T_g"],
-                staged["count"],
+                staged["count"], width,
             )
-            hard_np = np.asarray(hard[:n])  # one [n, N] transfer per group
+            hard_np = np.asarray(hard)[:n]  # one [G, N] transfer per group
             for i in range(n):
                 c = counts[i]
                 if c <= width:

@@ -26,7 +26,9 @@ roofline_stage() {  # roofline_stage OUTNAME ARGS...
 bench_stage() {  # bench_stage OUTNAME ENV...
   local out=$PERF/$1; shift
   if grep -q '"metric"' "$out" 2>/dev/null; then return 0; fi
-  timeout 1800 env "$@" python bench.py 2> "$out.err" | tee "$out"
+  # 2400 s: the packed stages compile never-before-seen vmapped graphs
+  # (cache misses pay the full remote compile + tunnel queue noise)
+  timeout 2400 env "$@" python bench.py 2> "$out.err" | tee "$out"
   tail -4 "$out.err" >&2
 }
 
