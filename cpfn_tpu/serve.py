@@ -83,6 +83,13 @@ def main(argv=None):
     p.add_argument("--fit_json", action="store_true",
                    help="also fit primitives to the fused instances and "
                         "write <stem>_primitives.json (reference order)")
+    p.add_argument("--packed", action="store_true",
+                   help="single-chip throughput mode: group-vmapped "
+                        "two-phase cascade (CascadeRunner.run_clouds_packed"
+                        ") — identical outputs, one phase-1 + one phase-2 "
+                        "dispatch per --pack_group clouds (R=1 only)")
+    p.add_argument("--pack_group", type=int, default=4)
+    p.add_argument("--pack_width", type=int, default=8)
     p.add_argument("--cloud_parallel", action="store_true",
                    help="shard clouds over all visible devices")
     p.add_argument("--model_overrides", default="",
@@ -217,9 +224,13 @@ def main(argv=None):
     else:
         meta = [prep(f) for f in files]
         clouds = [(m[0], m[1], None) for m in meta]
-        for path, m, out in zip(
-            files, meta, runner.run_clouds_device(clouds)
-        ):
+        if args.packed and args.n_shuffles == 1:
+            stream = runner.run_clouds_packed(
+                clouds, group=args.pack_group, width=args.pack_width
+            )
+        else:
+            stream = runner.run_clouds_device(clouds)
+        for path, m, out in zip(files, meta, stream):
             write_outputs(path, out, m[2])
 
 

@@ -98,6 +98,29 @@ def test_serve_writes_artifacts(tmp_path, rng, ckpt_dir):
     assert np.all(np.diff(idx_c) > 0)
 
 
+def test_serve_packed_matches_default(tmp_path, rng, ckpt_dir):
+    """--packed (group-vmapped two-phase cascade) writes byte-identical
+    artifacts to the single-dispatch default — the serving key derivation
+    and the fused outputs are pinned equal (tests/test_cascade_packed.py
+    covers the runner; this pins the CLI wiring)."""
+    in_dir = _write_clouds(tmp_path, rng)
+    out_ref = str(tmp_path / "out_ref")
+    out_packed = str(tmp_path / "out_packed")
+    serve.main(_common_args(ckpt_dir, in_dir, out_ref))
+    serve.main(
+        _common_args(ckpt_dir, in_dir, out_packed)
+        + ["--packed", "--pack_group", "2", "--pack_width", "2"]
+    )
+    for stem in ("a", "b", "c"):
+        for suffix in ("seg", "type"):
+            ref = np.load(os.path.join(out_ref, f"{stem}_{suffix}.npy"))
+            got = np.load(os.path.join(out_packed, f"{stem}_{suffix}.npy"))
+            np.testing.assert_array_equal(ref, got, err_msg=f"{stem}_{suffix}")
+        ref_n = np.load(os.path.join(out_ref, f"{stem}_normals.npy"))
+        got_n = np.load(os.path.join(out_packed, f"{stem}_normals.npy"))
+        np.testing.assert_allclose(ref_n, got_n, atol=1e-6)
+
+
 def test_serve_cloud_parallel_matches_artifact_schema(tmp_path, rng, ckpt_dir):
     if len(jax.devices()) < 2:
         pytest.skip("needs the multi-device CPU mesh")
