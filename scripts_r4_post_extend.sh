@@ -51,6 +51,19 @@ bench_stage bench_bucketed_g12.json CPFN_BENCH_TRAINED=1 CPFN_BENCH_CKPT_DIR=$B 
   CPFN_BENCH_BUCKETED=1 CPFN_BENCH_BUCKET_GROUP=12
 bash scripts_archive_artifacts.sh "postextend final benches"
 
+# M5a: vmapped-Pallas hardware parity (the packed graphs vmap kernels the
+# TPU has only ever run unbatched; interpret-mode parity is in the CPU
+# suite, this pins the Mosaic lowering)
+if [ ! -f $PERF/pallas_vmap_green ]; then
+  timeout 1800 env CPFN_TEST_PLATFORM=axon python -m pytest \
+    tests/test_pallas_tpu.py -q -k vmap 2>&1 | tee /tmp/pallas_vmap_r4.log | tail -3
+  if grep -qE "^[0-9]+ passed" /tmp/pallas_vmap_r4.log \
+     && ! grep -q failed /tmp/pallas_vmap_r4.log; then
+    cp /tmp/pallas_vmap_r4.log $PERF/pallas_vmap_green
+  fi
+fi
+bash scripts_archive_artifacts.sh "postextend pallas vmap parity"
+
 # M5: PACKED serving path (group-vmapped phase1 + phase2; the round-4
 # response to the bucketed regression — fewer dispatches AND less padded
 # compute; parity pinned by tests/test_cascade_packed.py)

@@ -67,6 +67,75 @@ def test_ball_query_kernel_interpret(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_fps_kernel_vmap_interpret(rng):
+    """The packed serving path vmaps whole cascade graphs (and thus the
+    Pallas kernels) over a cloud-group axis. jax batches pallas_call by
+    prepending a grid dimension, which shifts `pl.program_id` numbering —
+    this pins that the production wrappers stay exact under vmap."""
+    from cpfn_tpu.ops import pallas_kernels
+
+    old_call = pl.pallas_call
+    try:
+        def call_interpret(*a, **k):
+            k["interpret"] = True
+            return old_call(*a, **k)
+
+        pallas_kernels.pl.pallas_call = call_interpret
+        P = jnp.asarray(rng.randn(3, 2, 300, 3), jnp.float32)
+        got = jax.vmap(
+            lambda p: pallas_kernels._farthest_point_sample_pallas_batched
+            .__wrapped__(p, 32)
+        )(P)
+        # the grid=(B,) single-program variant (the 100k global-cloud path;
+        # indexes its SMEM output by pl.program_id, the part vmap's
+        # grid-prepend batching could plausibly break)
+        P1 = jnp.asarray(rng.randn(3, 1, 300, 3), jnp.float32)
+        got1 = jax.vmap(
+            lambda p: pallas_kernels.farthest_point_sample_pallas(p, 32)
+        )(P1)
+    finally:
+        pallas_kernels.pl.pallas_call = old_call
+    ref = jax.vmap(
+        lambda p: ops.farthest_point_sample(p, 32, impl="xla")
+    )(P)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    ref1 = jax.vmap(
+        lambda p: ops.farthest_point_sample(p, 32, impl="xla")
+    )(P1)
+    np.testing.assert_array_equal(np.asarray(got1), np.asarray(ref1))
+
+
+def test_ball_query_kernel_vmap_interpret(rng):
+    """Same vmap guarantee for the streaming ball-query kernel."""
+    from cpfn_tpu.ops import pallas_kernels
+
+    old = pallas_kernels._BQ_CHUNK
+    pallas_kernels._BQ_CHUNK = 128
+    old_call = pl.pallas_call
+    try:
+        def call_interpret(*a, **k):
+            k["interpret"] = True
+            return old_call(*a, **k)
+
+        pl.pallas_call = call_interpret
+        pallas_kernels.pl.pallas_call = call_interpret
+        P = jnp.asarray(rng.randn(2, 2, 400, 3) * 0.5, jnp.float32)
+        q = P[:, :, :130]
+        got = jax.vmap(
+            lambda p, qq: pallas_kernels.ball_query_pallas.__wrapped__(
+                p, qq, 0.4, 8
+            )
+        )(P, q)
+    finally:
+        pallas_kernels._BQ_CHUNK = old
+        pl.pallas_call = old_call
+        pallas_kernels.pl.pallas_call = old_call
+    ref = jax.vmap(
+        lambda p, qq: ops.ball_query(p, qq, 0.4, 8, impl="xla")
+    )(P, q)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_lowres_seeded_fps_interpret_matches_xla(rng):
     """The preprocessing device-FPS graph (`lowres._device_fps_fn`) must
     select the same subsample whether its global phase runs as the XLA

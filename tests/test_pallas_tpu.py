@@ -74,6 +74,43 @@ def test_ball_query_pallas_chunk_widths_on_tpu(rng):
         np.testing.assert_array_equal(a, b, err_msg=f"chunk={chunk}")
 
 
+def test_fps_pallas_vmap_matches_xla(rng):
+    """The packed serving path vmaps whole cascade graphs over a cloud
+    group, so the Pallas kernels must lower and stay exact under a leading
+    vmap batch dimension (jax batches pallas_call by prepending to the
+    grid) — pinned here against the vmapped XLA path on hardware."""
+    from cpfn_tpu import ops
+    from cpfn_tpu.ops.pallas_kernels import farthest_point_sample_pallas
+
+    P = jnp.asarray(rng.randn(3, 4, 2048, 3), jnp.float32)
+    a = np.asarray(jax.vmap(
+        lambda p: ops.farthest_point_sample(p, 128, impl="xla")
+    )(P))
+    b = np.asarray(jax.vmap(
+        lambda p: farthest_point_sample_pallas(p, 128)
+    )(P))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_ball_query_pallas_vmap_matches_xla(rng):
+    """Same vmap-lowering guarantee for the streaming ball-query kernel
+    (the other Pallas op inside the packed path's vmapped graphs)."""
+    from cpfn_tpu import ops
+    from cpfn_tpu.ops.pallas_kernels import ball_query_pallas
+
+    B, N, S, r, K = 2, 2048, 256, 0.3, 32
+    P = jnp.asarray(rng.randn(3, B, N, 3) * 0.5, jnp.float32)
+    idx = jax.vmap(lambda p: ops.farthest_point_sample(p, S))(P)
+    Q = jax.vmap(ops.gather_points)(P, idx)
+    a = np.asarray(jax.vmap(
+        lambda p, q: ops.ball_query(p, q, r, K, impl="xla")
+    )(P, Q))
+    b = np.asarray(jax.vmap(
+        lambda p, q: ball_query_pallas(p, q, r, K)
+    )(P, Q))
+    np.testing.assert_array_equal(a, b)
+
+
 def test_fused_mlp_matches_xla_on_tpu(rng):
     """Mosaic-lowering parity for the fused eval MLP kernels at the real SA1
     shape (interpret-mode logic parity lives in test_fused_mlp.py)."""
