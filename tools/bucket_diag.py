@@ -142,6 +142,44 @@ def main():
         (res["dispatch_chain_8_ms"] - res["dispatch_chain_1_ms"]) / 7, 2
     )
     res["n_real_patches"] = n_real
+
+    # packed path stage times (round 4): phase 1 vmapped over a group of 4
+    # clouds, phase 2 vmapped at width 8 — the per-CLOUD cost of each packed
+    # dispatch is the group time / 4
+    G, W = 4, 8
+    P_hr_g = jnp.stack([P_hr_j] * G)
+    P_lr_g = jnp.stack([P_lr_j] * G)
+    pool_g = jnp.stack([pool_j] * G)
+    keys_g = jax.random.split(jax.random.PRNGKey(1), G)
+
+    def phase1_packed():
+        s = runner._phase1_batch(
+            gm.params, gm.state, P_hr_g, P_lr_g, pool_g, keys_g
+        )
+        np.asarray(s["count"])
+        return 0
+
+    res[f"phase1_packed_g{G}_ms"] = round(_t(phase1_packed, reps=4), 2)
+
+    staged_g = runner._phase1_batch(
+        gm.params, gm.state, P_hr_g, P_lr_g, pool_g, keys_g
+    )
+
+    def phase2_packed():
+        out = runner._phase2_packed(
+            lm.params, lm.state, P_hr_g,
+            staged_g["idx"], staged_g["mask"],
+            staged_g["W_hard"], staged_g["X_g"], staged_g["T_g"],
+            staged_g["count"], W,
+        )
+        np.asarray(out[4].ravel()[:1])
+        return 0
+
+    res[f"phase2_packed_g{G}w{W}_ms"] = round(_t(phase2_packed, reps=4), 2)
+    res["packed_per_cloud_ms"] = round(
+        (res[f"phase1_packed_g{G}_ms"] + res[f"phase2_packed_g{G}w{W}_ms"])
+        / G, 2,
+    )
     print(json.dumps(res))
 
 
