@@ -756,7 +756,7 @@ class CascadeRunner:
 
     def run_clouds_packed(
         self, clouds, key=None, group: int = 4, width: int = 8,
-        buckets=(8, 16, 32),
+        buckets=(8, 16, 32), sharding=None,
     ):
         """PACKED serving path (round 4): phase 1 for `group` clouds in ONE
         vmapped dispatch, one stacked patch-count transfer per group, then
@@ -778,13 +778,39 @@ class CascadeRunner:
         per-cloud keys derive identically, phase 2 is width-polymorphic and
         padding-invariant (tests/test_cascade_packed.py). One group is kept
         in flight while the previous group drains. R=1 only. Yields results
-        in input order; `hard` rows are host numpy (already transferred)."""
+        in input order; `hard` rows are host numpy (already transferred).
+
+        `sharding`: optional jax.sharding.Sharding for the group axis (e.g.
+        NamedSharding(mesh, P("dp")) from make_cloud_parallel_packed). The
+        stacked per-group inputs are placed on it and GSPMD partitions both
+        vmapped graphs across the mesh — no cross-cloud communication
+        exists, so this is zero-collective cloud parallelism: each chip runs
+        group/n_chips clouds of every packed dispatch. `group` must then be
+        a multiple of the device count."""
         assert self.n_shuffles == 1, "packed path is single-forward (R=1)"
         assert self._phase1_batch is not None, "mesh mode: use run_cloud"
         key = key if key is not None else jax.random.PRNGKey(0)
         group = max(1, int(group))
+        if sharding is not None and group % len(sharding.device_set):
+            raise ValueError(
+                f"group {group} not divisible by the sharding's "
+                f"{len(sharding.device_set)} devices"
+            )
         width = min(int(width), self.max_patches)
-        gm, lm = self.global_model, self.local_model
+        gm, lm, pm = self.global_model, self.local_model, self.patchselec_model
+        gp, gs, lp, ls = gm.params, gm.state, lm.params, lm.state
+        pp, ps_ = (pm.params, pm.state) if pm is not None else (None, None)
+        if sharding is not None:
+            # checkpoint-loaded params are committed to one device; the
+            # sharded group inputs span the mesh — replicate the weights
+            # onto the mesh once (a NamedSharding is required here) or jit
+            # rejects the device mix
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(sharding.mesh, PartitionSpec())
+            gp, gs, lp, ls = jax.device_put((gp, gs, lp, ls), rep)
+            if pm is not None:
+                pp, ps_ = jax.device_put((pp, ps_), rep)
 
         def dispatch(batch):
             # batch: [((P_hr, P_lr, pool_or_None), sub_key)] * <=group;
@@ -800,18 +826,22 @@ class CascadeRunner:
                 [jnp.asarray(c[0][1], jnp.float32) for c in full]
             )
             keys_ = jnp.stack([c[1] for c in full])
+            if sharding is not None:
+                P_hr = jax.device_put(P_hr, sharding)
+                P_lr = jax.device_put(P_lr, sharding)
+                keys_ = jax.device_put(keys_, sharding)
             if full[0][0][2] is None:
-                m = self.patchselec_model
                 staged = self._phase1_batch_ps(
-                    gm.params, gm.state, m.params, m.state,
-                    P_hr, P_lr, keys_,
+                    gp, gs, pp, ps_, P_hr, P_lr, keys_,
                 )
             else:
                 pool = jnp.stack(
                     [jnp.asarray(c[0][2], bool) for c in full]
                 )
+                if sharding is not None:
+                    pool = jax.device_put(pool, sharding)
                 staged = self._phase1_batch(
-                    gm.params, gm.state, P_hr, P_lr, pool, keys_
+                    gp, gs, P_hr, P_lr, pool, keys_
                 )
             return staged, P_hr, n
 
@@ -821,7 +851,7 @@ class CascadeRunner:
             staged, P_hr, n = batch
             counts = np.asarray(staged["count"])[:n].astype(int).tolist()
             W_f, X_f, T_f, n_valid, hard = self._phase2_packed(
-                lm.params, lm.state, P_hr,
+                lp, ls, P_hr,
                 staged["idx"], staged["mask"],
                 staged["W_hard"], staged["X_g"], staged["T_g"],
                 staged["count"], width,
@@ -841,12 +871,18 @@ class CascadeRunner:
                         if c <= b:
                             w2 = min(b, self.max_patches)
                             break
-                    Wf1, Xf1, Tf1, nv1 = self._phase2_device(
-                        lm.params, lm.state, P_hr[i],
-                        staged["idx"][i, :w2], staged["mask"][i, :w2],
-                        staged["W_hard"][i], staged["X_g"][i],
-                        staged["T_g"][i],
+                    over = (
+                        P_hr[i], staged["idx"][i, :w2],
+                        staged["mask"][i, :w2], staged["W_hard"][i],
+                        staged["X_g"][i], staged["T_g"][i],
                     )
+                    if sharding is not None:
+                        # per-cloud slices of mesh-sharded arrays land on
+                        # single devices; host-materialize so the re-run
+                        # (rare) stays device-compatible with the
+                        # replicated weights
+                        over = tuple(np.asarray(a) for a in over)
+                    Wf1, Xf1, Tf1, nv1 = self._phase2_device(lp, ls, *over)
                     out = {
                         "W": Wf1, "X": Xf1, "T": Tf1,
                         "hard": np.asarray(

@@ -4,6 +4,7 @@ from cpfn_tpu.parallel.mesh import (
     shard_batch,
     make_sharded_spfn_train_step,
     make_cloud_parallel_cascade,
+    make_cloud_parallel_packed,
     make_patch_parallel_forward,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "shard_batch",
     "make_sharded_spfn_train_step",
     "make_cloud_parallel_cascade",
+    "make_cloud_parallel_packed",
     "make_patch_parallel_forward",
 ]

@@ -151,6 +151,46 @@ def make_cloud_parallel_cascade(runner, mesh: Mesh, axis_name: str = "dp"):
     return fn
 
 
+def make_cloud_parallel_packed(
+    runner, mesh: Mesh, axis_name: str = "dp", width: int = 8,
+    buckets=(8, 16, 32),
+):
+    """Cloud-parallel PACKED serving: the packed path's group axis sharded
+    over the mesh. `run_clouds_packed` already batches phase 1 and phase 2
+    over a `group` of clouds with zero cross-cloud communication, so placing
+    the stacked group inputs on a `P(axis_name)` sharding lets GSPMD
+    partition both vmapped graphs across the chips with no collectives at
+    all — each chip runs group/n_chips clouds of every dispatch, and the
+    per-group host syncs (one stacked count read, one stacked hard-label
+    transfer) are amortized over the whole mesh. This composes the round-4
+    single-chip throughput win (fewer dispatches + width-`width` padded
+    compute instead of max_patches) with the v5e-8 deployment shape of
+    `make_cloud_parallel_cascade`.
+
+    `runner` must be a CascadeRunner built WITHOUT a mesh. Returns
+    run(clouds, group=None, key=None) -> generator of per-cloud outputs
+    (same stream contract as run_clouds_packed); `group` defaults to
+    2 clouds per device and must divide by the mesh size.
+    """
+    if runner._phase1_batch is None:
+        raise ValueError("runner was built with a mesh; build it without")
+    sharding = NamedSharding(mesh, P(axis_name))
+    n_dev = mesh.devices.size
+
+    def run(clouds, group: int | None = None, key=None):
+        group = 2 * n_dev if group is None else int(group)
+        if group % n_dev:
+            raise ValueError(
+                f"group {group} not divisible by mesh size {n_dev}"
+            )
+        return runner.run_clouds_packed(
+            clouds, key=key, group=group, width=width, buckets=buckets,
+            sharding=sharding,
+        )
+
+    return run
+
+
 def make_patch_parallel_forward(
     model_cfg: PointNet2Config, mesh: Mesh, axis_name: str = "dp"
 ):

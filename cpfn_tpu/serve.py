@@ -18,7 +18,10 @@ to --n_points_highres so every cloud reuses one compiled graph.
 
 With >1 visible device and --cloud_parallel, clouds shard over the mesh via
 `parallel.make_cloud_parallel_cascade` (one full cascade per chip — the
-v5e-8 serving shape).
+v5e-8 serving shape). Adding --packed composes the two throughput modes:
+the packed group axis shards over the mesh
+(`parallel.make_cloud_parallel_packed`), so each chip runs its share of
+every group-vmapped phase-1/phase-2 dispatch with zero collectives.
 """
 
 from __future__ import annotations
@@ -200,7 +203,26 @@ def main(argv=None):
               f"{len(np.unique(hard))} instances", flush=True)
 
     n_dev = len(jax.devices())
-    if args.cloud_parallel and n_dev > 1:
+    if (
+        args.cloud_parallel and n_dev > 1
+        and args.packed and args.n_shuffles == 1
+    ):
+        # composed throughput mode: the packed group axis shards over the
+        # mesh (zero collectives) — fewest dispatches per cloud AND one
+        # packed group in flight per chip set
+        from cpfn_tpu.parallel import make_cloud_parallel_packed, make_mesh
+
+        mesh = make_mesh(n_dev)
+        group = max(args.pack_group, n_dev)
+        group += (-group) % n_dev  # round up to a mesh multiple
+        run = make_cloud_parallel_packed(
+            runner, mesh, width=args.pack_width
+        )
+        meta = [prep(f) for f in files]
+        clouds = [(m[0], m[1], None) for m in meta]
+        for path, m, out in zip(files, meta, run(clouds, group=group)):
+            write_outputs(path, out, m[2])
+    elif args.cloud_parallel and n_dev > 1:
         import jax.numpy as jnp
 
         from cpfn_tpu.parallel import make_cloud_parallel_cascade, make_mesh

@@ -117,6 +117,39 @@ def test_packed_group_padding_invariance(runner):
         assert r["bucket_width"] == g["bucket_width"]
 
 
+def test_packed_cloud_parallel_mesh(runner):
+    """make_cloud_parallel_packed on the virtual 8-device CPU mesh: the
+    group axis shards over the mesh (GSPMD, zero collectives) and the
+    result stream matches the unsharded packed path cloud-for-cloud —
+    includes an overflow (dense pool) and an empty-pool fallback cloud so
+    both per-cloud follow-up branches run against sharded staged arrays."""
+    from cpfn_tpu.parallel import make_cloud_parallel_packed, make_mesh
+
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    clouds = [
+        _cloud(21), _cloud(22, "dense"), _cloud(23, "empty"), _cloud(24),
+        _cloud(25), _cloud(26), _cloud(27), _cloud(28), _cloud(29),
+        _cloud(30),
+    ]
+    key = jax.random.PRNGKey(17)
+    ref = list(
+        runner.run_clouds_packed(
+            clouds, key=key, group=8, width=4, buckets=(4, 8)
+        )
+    )
+    run = make_cloud_parallel_packed(runner, mesh, width=4, buckets=(4, 8))
+    got = list(run(clouds, group=8, key=key))
+    assert len(ref) == len(got) == 10
+    assert any(int(r["n_patches"]) > 4 for r in ref)  # overflow branch
+    assert any(int(r["n_patches"]) == 0 for r in ref)  # fallback branch
+    for r, g in zip(ref, got):
+        _assert_cloud_match(r, g)
+
+    with pytest.raises(ValueError):
+        run(clouds, group=3)
+
+
 def test_packed_ps_pool_path(runner):
     """pool_mask=None routes through the vmapped patch-selection phase-1
     graph and matches the single-dispatch patch-selection graph."""

@@ -131,3 +131,36 @@ def test_serve_cloud_parallel_matches_artifact_schema(tmp_path, rng, ckpt_dir):
     )
     seg = np.load(os.path.join(out_dir, "a_seg.npy"))
     assert seg.shape == (N_HR,)
+
+
+def test_serve_packed_cloud_parallel_matches_packed(tmp_path, rng, ckpt_dir):
+    """--packed --cloud_parallel (the composed throughput mode: packed group
+    axis sharded over the mesh) writes byte-identical artifacts to plain
+    --packed — sharding is a placement change, not a math change."""
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    in_dir = _write_clouds(tmp_path, rng)
+    out_ref = str(tmp_path / "out_packed_ref")
+    out_mesh = str(tmp_path / "out_packed_mesh")
+    n_dev = len(jax.devices())
+    # same group in both runs so the key stream and group padding match
+    group = str(n_dev)
+    serve.main(
+        _common_args(ckpt_dir, in_dir, out_ref)
+        + ["--packed", "--pack_group", group, "--pack_width", "2"]
+    )
+    serve.main(
+        _common_args(ckpt_dir, in_dir, out_mesh)
+        + ["--packed", "--cloud_parallel",
+           "--pack_group", group, "--pack_width", "2"]
+    )
+    for stem in ("a", "b", "c"):
+        for suffix in ("seg", "type"):
+            ref = np.load(os.path.join(out_ref, f"{stem}_{suffix}.npy"))
+            got = np.load(os.path.join(out_mesh, f"{stem}_{suffix}.npy"))
+            np.testing.assert_array_equal(
+                ref, got, err_msg=f"{stem}_{suffix}"
+            )
+        ref_n = np.load(os.path.join(out_ref, f"{stem}_normals.npy"))
+        got_n = np.load(os.path.join(out_mesh, f"{stem}_normals.npy"))
+        np.testing.assert_allclose(ref_n, got_n, atol=1e-6)
