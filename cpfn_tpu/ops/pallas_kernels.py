@@ -38,8 +38,13 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, dist_ref, *, num_samples, n_pad):
     x = x_ref[0]
     y = y_ref[0]
     z = z_ref[0]
+    # invalid (near-origin / padding) entries are encoded ONCE in the
+    # running-distance buffer as -1: every real distance is >= 0, so
+    # min(-1, d) keeps them at -1 forever and the two per-iteration
+    # validity `where` sweeps the original kernel paid (update mask +
+    # argmax mask) disappear — outputs are bit-identical
     valid = (x * x + y * y + z * z) > 1e-3
-    dist_ref[:] = jnp.full((R, _LANES), 1e10, jnp.float32)
+    dist_ref[:] = jnp.where(valid, 1e10, -1.0).astype(jnp.float32)
     flat_iota = (
         lax.broadcasted_iota(jnp.int32, (R, _LANES), 0) * _LANES
         + lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
@@ -54,12 +59,11 @@ def _fps_kernel(x_ref, y_ref, z_ref, out_ref, dist_ref, *, num_samples, n_pad):
         py = jnp.sum(jnp.where(sel, y, 0.0))
         pz = jnp.sum(jnp.where(sel, z, 0.0))
         d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
-        new_dist = jnp.where(valid, jnp.minimum(dist_ref[:], d), dist_ref[:])
+        new_dist = jnp.minimum(dist_ref[:], d)
         dist_ref[:] = new_dist
-        masked = jnp.where(valid, new_dist, -1.0)
-        m = jnp.max(masked)
+        m = jnp.max(new_dist)
         # first index achieving the max (lowest flat index)
-        nxt = jnp.min(jnp.where(masked == m, flat_iota, n_pad))
+        nxt = jnp.min(jnp.where(new_dist == m, flat_iota, n_pad))
         out_ref[b, j] = nxt
         return nxt
 
@@ -274,8 +278,11 @@ def _fps_batched_kernel(
     x = x_ref[...]
     y = y_ref[...]
     z = z_ref[...]
+    # invalid entries live in the distance buffer as -1 (see _fps_kernel):
+    # min(-1, d) = -1 for every real d >= 0, so the per-iteration validity
+    # `where` sweeps vanish with bit-identical outputs
     valid = (x * x + y * y + z * z) > 1e-3
-    dist_ref[...] = jnp.full((B, N), 1e10, jnp.float32)
+    dist_ref[...] = jnp.where(valid, 1e10, -1.0).astype(jnp.float32)
     point_iota = lax.broadcasted_iota(jnp.int32, (B, N), 1)
     col_iota = lax.broadcasted_iota(jnp.int32, (B, num_samples), 1)
     out_ref[...] = jnp.zeros((B, num_samples), jnp.int32)
@@ -286,12 +293,12 @@ def _fps_batched_kernel(
         py = jnp.sum(jnp.where(sel, y, 0.0), axis=1, keepdims=True)
         pz = jnp.sum(jnp.where(sel, z, 0.0), axis=1, keepdims=True)
         d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
-        new_dist = jnp.where(valid, jnp.minimum(dist_ref[...], d), dist_ref[...])
+        new_dist = jnp.minimum(dist_ref[...], d)
         dist_ref[...] = new_dist
-        masked = jnp.where(valid, new_dist, -1.0)
-        m = jnp.max(masked, axis=1, keepdims=True)
+        m = jnp.max(new_dist, axis=1, keepdims=True)
         nxt = jnp.min(
-            jnp.where(masked == m, point_iota, n_pad), axis=1, keepdims=True
+            jnp.where(new_dist == m, point_iota, n_pad),
+            axis=1, keepdims=True,
         ).astype(jnp.int32)
         out_ref[...] = jnp.where(col_iota == j, nxt, out_ref[...])
         return nxt
@@ -393,9 +400,12 @@ def _fps_seeded_kernel(
         lax.broadcasted_iota(jnp.int32, (R, _LANES), 0) * _LANES
         + lax.broadcasted_iota(jnp.int32, (R, _LANES), 1)
     )
+    # positional padding is encoded once in the distance buffer as -1
+    # (init values are >= 0 and min(-1, d) = -1 for d >= 0), dropping the
+    # per-iteration validity `where` — see _fps_kernel
     valid = flat_iota < n_points
-    dist_ref[:] = init_ref[0]
-    masked0 = jnp.where(valid, dist_ref[:], -1.0)
+    dist_ref[:] = jnp.where(valid, init_ref[0], -1.0)
+    masked0 = dist_ref[:]
     m0 = jnp.max(masked0)
     first = jnp.min(jnp.where(masked0 == m0, flat_iota, n_pad))
     out_ref[0, 0] = first
@@ -408,9 +418,8 @@ def _fps_seeded_kernel(
         d = (x - px) ** 2 + (y - py) ** 2 + (z - pz) ** 2
         new_dist = jnp.minimum(dist_ref[:], d)
         dist_ref[:] = new_dist
-        masked = jnp.where(valid, new_dist, -1.0)
-        m = jnp.max(masked)
-        nxt = jnp.min(jnp.where(masked == m, flat_iota, n_pad))
+        m = jnp.max(new_dist)
+        nxt = jnp.min(jnp.where(new_dist == m, flat_iota, n_pad))
         out_ref[0, j] = nxt
         return nxt
 

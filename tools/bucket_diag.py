@@ -83,6 +83,10 @@ def main():
 
     res = {}
 
+    def prog(name):
+        print(f"[bucket_diag] timing {name}...", file=sys.stderr,
+              flush=True)
+
     def phase1():
         s = runner._phase1_device(
             gm.params, gm.state, P_hr_j, P_lr_j, pool_j, key
@@ -90,6 +94,7 @@ def main():
         np.asarray(s["count"])
         return 0
 
+    prog("phase1")
     res["phase1_ms"] = round(_t(phase1), 2)
 
     staged = runner._phase1_device(
@@ -107,6 +112,7 @@ def main():
             np.asarray(out[0].ravel()[:1])
             return 0
 
+        prog(f"phase2_w{w}")
         res[f"phase2_w{w}_ms"] = round(_t(phase2), 2)
 
     def cascade():
@@ -117,9 +123,11 @@ def main():
         np.asarray(out["hard"].ravel()[:1])
         return 0
 
+    prog("cascade_single")
     res["cascade_single_ms"] = round(_t(cascade), 2)
 
     np.asarray(staged["count"])  # ensure materialized server-side
+    prog("count_fetch")
     res["count_fetch_ms"] = round(_t(lambda: int(staged["count"])), 2)
 
     # raw dependent-dispatch chain: k tiny ops, each a separate jit call
@@ -136,6 +144,7 @@ def main():
             return 0
         return run
 
+    prog("dispatch_chain")
     res["dispatch_chain_1_ms"] = round(_t(chain(1)), 2)
     res["dispatch_chain_8_ms"] = round(_t(chain(8)), 2)
     res["per_dispatch_ms"] = round(
@@ -159,6 +168,7 @@ def main():
         np.asarray(s["count"])
         return 0
 
+    prog("phase1_packed")
     res[f"phase1_packed_g{G}_ms"] = round(_t(phase1_packed, reps=4), 2)
 
     staged_g = runner._phase1_batch(
@@ -175,6 +185,7 @@ def main():
         np.asarray(out[4].ravel()[:1])
         return 0
 
+    prog("phase2_packed")
     res[f"phase2_packed_g{G}w{W}_ms"] = round(_t(phase2_packed, reps=4), 2)
     res["packed_per_cloud_ms"] = round(
         (res[f"phase1_packed_g{G}_ms"] + res[f"phase2_packed_g{G}w{W}_ms"])
