@@ -41,6 +41,29 @@ def test_fps_batched_kernel_interpret(rng):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+def test_fps_batched_kernel_near_origin_interpret(rng):
+    """The CUDA near-origin rule (||p||^2 <= 1e-3 points are never selected
+    and never update the running distance) is now encoded as a -1 distance
+    at init rather than per-iteration mask sweeps; random test data almost
+    never produces such points, so pin them explicitly: exact-origin
+    points, just-inside points (1e-3 boundary is <=), and just-outside
+    points, scattered through the batch."""
+    P = rng.randn(3, 300, 3).astype(np.float32)
+    P[0, 5] = 0.0                                  # exact origin
+    P[0, 250] = [0.018, 0.018, 0.0]                # |p|^2 = 6.5e-4 <= 1e-3
+    P[1, 0] = 0.0                                  # the forced first pick!
+    P[2, 100:110] = 1e-4                           # a run of near-origin
+    P[2, 110] = [0.032, 0.0, 0.0]                  # 1.02e-3 > 1e-3: valid
+    P = jnp.asarray(P)
+    got = _interpret_fps_batched(P, 32)
+    ref = ops.farthest_point_sample(P, 32, impl="xla")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+    # invalid points never appear after the forced index-0 start
+    got_np = np.asarray(got)
+    assert not np.isin(got_np[0, 1:], [5, 250]).any()
+    assert not np.isin(got_np[2, 1:], np.arange(100, 110)).any()
+
+
 def test_ball_query_kernel_interpret(rng):
     from cpfn_tpu.ops import pallas_kernels
 
