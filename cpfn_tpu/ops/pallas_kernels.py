@@ -311,11 +311,44 @@ def _fps_batched_kernel(
 _FPS_BATCHED_MAX_POINTS = 2_000_000
 
 
+@functools.lru_cache(maxsize=None)
+def _fps_custom_vmap(num_samples: int):
+    """custom_vmap wrapper: flatten vmap batch dims into the kernel's own
+    batch axis instead of letting jax prepend a Pallas grid dimension.
+
+    TPU grid iterations are SEQUENTIAL, and FPS is a `num_samples`-step
+    serial chain per program — so default-vmapping the kernel over a
+    group axis of G multiplies the serial chain to G*m steps. The packed
+    serving path vmaps whole cascade graphs over the cloud group
+    (tools/bucket_diag.py measured its vmapped width-8 phase 2 SLOWER per
+    patch-slot than one 32-wide stack for exactly this reason). Flattened
+    into the batched kernel, every group size shares one m-step chain."""
+
+    @jax.custom_batching.custom_vmap
+    def f(points):
+        return _fps_dispatch(points, num_samples)
+
+    @f.def_vmap
+    def _rule(axis_size, in_batched, points):
+        del axis_size
+        if not in_batched[0]:
+            return f(points), False
+        V, B, N, C = points.shape
+        out = f(points.reshape(V * B, N, C))
+        return out.reshape(V, B, num_samples), True
+
+    return f
+
+
 @functools.partial(jax.jit, static_argnames=("num_samples",))
 def farthest_point_sample_pallas(
     points: jax.Array, num_samples: int
 ) -> jax.Array:
     """[B, N, 3] -> [B, num_samples] int32. See module docstring."""
+    return _fps_custom_vmap(num_samples)(points)
+
+
+def _fps_dispatch(points: jax.Array, num_samples: int) -> jax.Array:
     B, N, _ = points.shape
     if B > 1 and B * N <= _FPS_BATCHED_MAX_POINTS:
         return _farthest_point_sample_pallas_batched(points, num_samples)
