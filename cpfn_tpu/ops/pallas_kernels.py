@@ -405,6 +405,14 @@ def _farthest_point_sample_pallas_batched(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
         scratch_shapes=[pltpu.VMEM((B, n_pad), jnp.float32)],
+        # the custom_vmap flattening routes grouped GLOBAL clouds here
+        # (e.g. a packed group of 8 x 100k points): 4 [B, n_pad] f32 planes
+        # exceed the 16MB default scoped-VMEM cap at ~500k+ points
+        # (measured 21.2MB at 8 x 100k) while fitting the chip's VMEM
+        # easily — same raise as the ball-query kernel
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
     )(x, y, z)
     return out
 

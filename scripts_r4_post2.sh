@@ -60,4 +60,18 @@ bench_stage bench_packed_oracle_postfps.json \
   CPFN_BENCH_PACKED=1 CPFN_BENCH_PACK_GROUP=4 CPFN_BENCH_PACK_WIDTH=8
 bash scripts_archive_artifacts.sh "post2 benches post-fps"
 
+# P5: packed trained re-runs after the custom_vmap + VMEM-limit fixes (the
+# M5 g4w8 run predated them and g8w8 OOM'd in the flattened global FPS);
+# w16 kills the overflow re-runs that w8 pays on >8-patch clouds
+bench_stage bench_packed_g4w8_postfps.json CPFN_BENCH_TRAINED=1 \
+  CPFN_BENCH_CKPT_DIR=$B \
+  CPFN_BENCH_PACKED=1 CPFN_BENCH_PACK_GROUP=4 CPFN_BENCH_PACK_WIDTH=8
+bench_stage bench_packed_g8w8_postfps.json CPFN_BENCH_TRAINED=1 \
+  CPFN_BENCH_CKPT_DIR=$B \
+  CPFN_BENCH_PACKED=1 CPFN_BENCH_PACK_GROUP=8 CPFN_BENCH_PACK_WIDTH=8
+bench_stage bench_packed_g4w16_postfps.json CPFN_BENCH_TRAINED=1 \
+  CPFN_BENCH_CKPT_DIR=$B \
+  CPFN_BENCH_PACKED=1 CPFN_BENCH_PACK_GROUP=4 CPFN_BENCH_PACK_WIDTH=16
+bash scripts_archive_artifacts.sh "post2 packed post-fix benches"
+
 echo "POST2 PIPELINE DONE"
