@@ -23,6 +23,7 @@ north-star (>= 50 clouds/sec on 8 chips -> 6.25 clouds/sec/chip).
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
@@ -68,6 +69,14 @@ PACK_GROUP = int(os.environ.get("CPFN_BENCH_PACK_GROUP", "4"))
 PACK_WIDTH = int(os.environ.get("CPFN_BENCH_PACK_WIDTH", "8"))
 CKPT_DIR = os.environ.get("CPFN_BENCH_CKPT_DIR", "data_synth/checkpoints")
 BASELINE_CLOUDS_PER_SEC_PER_CHIP = 50.0 / 8.0
+# Warmup (compile) budget in seconds. The round-4 driver bench died rc=124
+# INSIDE warmup compilation (BENCH_r04.json) and left no JSON at all — the
+# scoreboard recorded nothing for the round. If warmup has not completed
+# within this budget the bench emits a JSON line with "warmup_exceeded"
+# (value 0) and exits, so a cold cache / tunnel stall can never again
+# produce a silent empty artifact. Warm-cache warmup is ~40 s; full remote
+# recompiles measured 110-680 s (PERF.md round 4).
+WARMUP_BUDGET_S = float(os.environ.get("CPFN_BENCH_WARMUP_BUDGET", "1200"))
 
 
 def log(msg):
@@ -145,6 +154,32 @@ def main():
     )
 
     log("warmup (compilation)...")
+
+    def _warmup_watchdog():
+        # the budget exceeded: emit a parseable scoreboard line (the driver
+        # records whatever bench.py prints, or nothing at all if it is
+        # killed mid-warmup) and hard-exit — an os._exit because the main
+        # thread is blocked inside a device call that may never return
+        print(
+            json.dumps(
+                {
+                    "metric": "cascaded CPFN inference, 100k-pt clouds, "
+                    "1 chip",
+                    "value": 0.0,
+                    "unit": "clouds/sec",
+                    "vs_baseline": 0.0,
+                    "warmup_exceeded": True,
+                    "warmup_budget_s": WARMUP_BUDGET_S,
+                }
+            ),
+            flush=True,
+        )
+        log(f"WARMUP BUDGET EXCEEDED ({WARMUP_BUDGET_S:.0f}s) — aborting")
+        os._exit(3)
+
+    _wd = threading.Timer(WARMUP_BUDGET_S, _warmup_watchdog)
+    _wd.daemon = True
+    _wd.start()
     t0 = time.time()
     if PACKED and SHUFFLES == 1:
         # compile the overflow (wider-bucket) phase-2 graphs up front, then
@@ -171,6 +206,7 @@ def main():
         for out in runner.run_clouds_device(clouds[:N_WARMUP], lag=1):
             np.asarray(out["hard"])
         run_fn = runner.run_clouds_device
+    _wd.cancel()
     log(f"warmup done in {time.time() - t0:.1f}s; "
         f"n_patches={int(out['n_patches'])}")
 

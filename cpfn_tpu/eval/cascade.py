@@ -812,6 +812,17 @@ class CascadeRunner:
             if pm is not None:
                 pp, ps_ = jax.device_put((pp, ps_), rep)
 
+        def stack_group(arrs, dtype):
+            # Stack the group axis ON HOST when the inputs are host arrays
+            # (the serving/bench case): one device transfer for the whole
+            # [G, ...] operand. The original per-cloud `jnp.asarray` +
+            # `jnp.stack` paid a tunnel round trip PER CLOUD PER OPERAND —
+            # the measured 53 ms/cloud (bucket_diag, staged inputs) vs
+            # 142 ms/cloud (end-to-end bench) round-4 contradiction.
+            if all(isinstance(a, np.ndarray) for a in arrs):
+                return np.stack([a.astype(dtype, copy=False) for a in arrs])
+            return jnp.stack([jnp.asarray(a, dtype) for a in arrs])
+
         def dispatch(batch):
             # batch: [((P_hr, P_lr, pool_or_None), sub_key)] * <=group;
             # short tail groups are padded by repeating the first entry so
@@ -819,25 +830,22 @@ class CascadeRunner:
             # rows are dropped at drain time
             n = len(batch)
             full = batch + [batch[0]] * (group - n)
-            P_hr = jnp.stack(
-                [jnp.asarray(c[0][0], jnp.float32) for c in full]
-            )
-            P_lr = jnp.stack(
-                [jnp.asarray(c[0][1], jnp.float32) for c in full]
-            )
+            P_hr = stack_group([c[0][0] for c in full], np.float32)
+            P_lr = stack_group([c[0][1] for c in full], np.float32)
             keys_ = jnp.stack([c[1] for c in full])
+            # one async upload per operand (P_hr is consumed by BOTH phase
+            # graphs — without the explicit put, each jit would transfer
+            # the host array separately)
+            P_hr = jax.device_put(P_hr, sharding)
+            P_lr = jax.device_put(P_lr, sharding)
             if sharding is not None:
-                P_hr = jax.device_put(P_hr, sharding)
-                P_lr = jax.device_put(P_lr, sharding)
                 keys_ = jax.device_put(keys_, sharding)
             if full[0][0][2] is None:
                 staged = self._phase1_batch_ps(
                     gp, gs, pp, ps_, P_hr, P_lr, keys_,
                 )
             else:
-                pool = jnp.stack(
-                    [jnp.asarray(c[0][2], bool) for c in full]
-                )
+                pool = stack_group([c[0][2] for c in full], bool)
                 if sharding is not None:
                     pool = jax.device_put(pool, sharding)
                 staged = self._phase1_batch(
@@ -849,13 +857,19 @@ class CascadeRunner:
             if batch is None:
                 return
             staged, P_hr, n = batch
-            counts = np.asarray(staged["count"])[:n].astype(int).tolist()
+            # dispatch phase 2 FIRST — it does not depend on the host-side
+            # counts — so the count round trip overlaps phase-2 compute
             W_f, X_f, T_f, n_valid, hard = self._phase2_packed(
                 lp, ls, P_hr,
                 staged["idx"], staged["mask"],
                 staged["W_hard"], staged["X_g"], staged["T_g"],
                 staged["count"], width,
             )
+            try:
+                hard.copy_to_host_async()
+            except AttributeError:
+                pass
+            counts = np.asarray(staged["count"])[:n].astype(int).tolist()
             hard_np = np.asarray(hard)[:n]  # one [G, N] transfer per group
             for i in range(n):
                 c = counts[i]
