@@ -77,6 +77,30 @@ class CascadeRunner:
             else n_max_global_instances + n_max_local_instances
         )
 
+        # Feature-injected LocalSPFN (the v11 quality path): the local
+        # forward consumes the GLOBAL forward's code (glob, [1024]) and the
+        # per-patch feature at each patch's SEED point (loc, [128]) — the
+        # reference wires this via pn2_network.py:22-27 + the per-patch
+        # feature broadcast in dataloaders.py:275-281 but never trains it.
+        # All injection below is gated on the local config so feature-free
+        # graphs keep byte-identical HLO (and their committed XLA cache
+        # entries stay valid).
+        self._use_lfeat = bool(
+            local_model.cfg.use_glob_features
+            or local_model.cfg.use_loc_features
+        )
+        use_lfeat = self._use_lfeat
+
+        def local_feature_kwargs(g_feat, loc_feat, n_rows):
+            kw = {}
+            if local_model.cfg.use_glob_features:
+                kw["glob_features"] = jnp.broadcast_to(
+                    g_feat[None], (n_rows, g_feat.shape[-1])
+                )
+            if local_model.cfg.use_loc_features:
+                kw["loc_features"] = loc_feat
+            return kw
+
         # Every network forward below runs on a SHUFFLED point order and
         # unshuffles its per-point outputs: the networks are point-order
         # sensitive (FPS seeds at index 0, first-K ball query) and train on
@@ -178,14 +202,22 @@ class CascadeRunner:
             k_g, k_l = self.n_max_global, self.n_max_local
 
             @jax.jit
-            def phase2_device(lp, ls, P_hr, idx, mask, W_hard, X_g, T_g):
+            def phase2_device(lp, ls, P_hr, idx, mask, W_hard, X_g, T_g,
+                              g_feat=None, loc_feat=None):
                 # width-polymorphic: idx may be any [W, n] patch stack (the
                 # bucketed serving path calls this at W in {8, 16, 32}); the
                 # jit compiles one executable per width and the padded-width
-                # invariance is pinned by tests/test_cascade_buckets.py
+                # invariance is pinned by tests/test_cascade_buckets.py.
+                # Feature-free callers omit g_feat/loc_feat (identical HLO).
                 patches = normalize_patches(P_hr, idx)
+                kw = (
+                    local_feature_kwargs(
+                        g_feat, loc_feat[: idx.shape[0]], idx.shape[0]
+                    )
+                    if use_lfeat else {}
+                )
                 out, _ = apply_pointnet2(
-                    lp, ls, local_model.cfg, patches, train=False
+                    lp, ls, local_model.cfg, patches, train=False, **kw
                 )
                 X_p, T_p, W_p = spfn_postprocess(out)
                 W_p = W_p * mask[:, None, None]
@@ -208,7 +240,7 @@ class CascadeRunner:
             self._phase2_device = phase2_device
 
             def phase2_packed(lp, ls, P_hr, idx, mask, W_hard, X_g, T_g,
-                              count, width):
+                              count, width, g_feat=None, loc_feat=None):
                 """Per-cloud phase-2 body for the PACKED serving path
                 (vmapped over a group of clouds): the fused back half plus
                 the empty-pool global-only fallback and the hard argmax,
@@ -220,9 +252,10 @@ class CascadeRunner:
                 FULL-width idx/mask and slices to the static packed width
                 inside the graph (host-side slices of device arrays would
                 each be their own dispatch)."""
+                feat_args = (g_feat, loc_feat) if use_lfeat else ()
                 W_f, X_f, T_f, n_valid = phase2_device(
                     lp, ls, P_hr, idx[:width], mask[:width],
-                    W_hard, X_g, T_g,
+                    W_hard, X_g, T_g, *feat_args,
                 )
                 out_w = max(self.out_width, k_g)
                 W_glob = jnp.pad(W_hard, ((0, 0), (0, out_w - k_g)))
@@ -230,13 +263,32 @@ class CascadeRunner:
                 hard = jnp.argmax(W_f, axis=1).astype(jnp.int32)
                 return W_f, X_f, T_f, n_valid, hard
 
-            self._phase2_packed = jax.jit(
-                jax.vmap(
-                    phase2_packed,
-                    in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, None),
-                ),
-                static_argnums=9,
-            )
+            if use_lfeat:
+                # the per-cloud feature operands ride the vmapped group axis
+                def phase2_packed_feat(lp, ls, P_hr, idx, mask, W_hard, X_g,
+                                       T_g, g_feat, loc_feat, count, width):
+                    return phase2_packed(
+                        lp, ls, P_hr, idx, mask, W_hard, X_g, T_g, count,
+                        width, g_feat=g_feat, loc_feat=loc_feat,
+                    )
+
+                self._phase2_packed = jax.jit(
+                    jax.vmap(
+                        phase2_packed_feat,
+                        in_axes=(
+                            None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None,
+                        ),
+                    ),
+                    static_argnums=11,
+                )
+            else:
+                self._phase2_packed = jax.jit(
+                    jax.vmap(
+                        phase2_packed,
+                        in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, None),
+                    ),
+                    static_argnums=9,
+                )
         else:
             self._phase2_device = None
             self._phase2_packed = None
@@ -304,6 +356,14 @@ class CascadeRunner:
                     max_number_patches=self.max_patches,
                 )
                 mask = valid.astype(jnp.float32)
+                # per-patch feature at the SEED point — captured BEFORE the
+                # point-order shuffle permutes the index rows
+                lkw = (
+                    local_feature_kwargs(
+                        g_feat, p_feat[idx[:, 0]], self.max_patches
+                    )
+                    if use_lfeat else {}
+                )
 
                 # point-order shuffle of the kNN-sorted patch index rows
                 # (permuting an index row permutes points and scatter
@@ -317,7 +377,7 @@ class CascadeRunner:
                     idx = idx[:, pperm]
                     patches = normalize_patches(P_hr, idx)
                     lout, _ = apply_pointnet2(
-                        lp, ls, local_model.cfg, patches, train=False
+                        lp, ls, local_model.cfg, patches, train=False, **lkw
                     )
                     X_p, T_p, W_p = spfn_postprocess(lout)
                 else:
@@ -326,7 +386,8 @@ class CascadeRunner:
                         pinv = jnp.argsort(pperm)
                         patches = normalize_patches(P_hr, idx[:, pperm])
                         lout, _ = apply_pointnet2(
-                            lp, ls, local_model.cfg, patches, train=False
+                            lp, ls, local_model.cfg, patches, train=False,
+                            **lkw,
                         )
                         X_p, T_p, W_p = spfn_postprocess(lout)
                         return X_p[:, pinv], T_p[:, pinv], W_p[:, pinv]
@@ -412,15 +473,20 @@ class CascadeRunner:
                 )
                 # point-order shuffle of the kNN-sorted index rows (the
                 # order-sensitivity fix, as in cascade_device)
-                pperm = jax.random.permutation(k_patch, idx.shape[1])
-                idx = idx[:, pperm]
-                return {
+                p_feat = out["point_feat"][0][ginv]
+                staged = {
                     "X_g": X_g, "T_g": T_g, "W_hard": W_hard,
                     "global_feat": out["global_feat"][0],
-                    "point_feat": out["point_feat"][0][ginv],
-                    "idx": idx, "mask": valid.astype(jnp.float32),
+                    "point_feat": p_feat,
+                    "mask": valid.astype(jnp.float32),
                     "count": count,
                 }
+                if use_lfeat:
+                    # seed-point features, captured before the row shuffle
+                    staged["loc_feat"] = p_feat[idx[:, 0]]
+                pperm = jax.random.permutation(k_patch, idx.shape[1])
+                staged["idx"] = idx[:, pperm]
+                return staged
 
             def phase1_device_ps(gp, gs, pp_, ps_, P_hr, P_lr, key):
                 k_ps, key = jax.random.split(key)
@@ -505,6 +571,11 @@ class CascadeRunner:
     # pipelined multi-cloud execution
     # ------------------------------------------------------------------
     def _phase1(self, P_hr, P_lr):
+        assert not self._use_lfeat, (
+            "feature-injected LocalSPFN is wired through the device paths "
+            "(run_clouds_device / bucketed / packed); the host-assembly and "
+            "mesh patch-parallel paths do not thread glob/loc features yet"
+        )
         """Dispatch the device-only front half (global fwd + heatmap) without
         forcing a host sync — JAX's async dispatch keeps the device busy
         while the host finishes the previous cloud. P_lr=None skips the
@@ -631,11 +702,15 @@ class CascadeRunner:
                 break
         lm = self.local_model
         W_hard, X_g, T_g = staged["W_hard"], staged["X_g"], staged["T_g"]
+        feat = (
+            (staged["global_feat"], staged["loc_feat"])
+            if self._use_lfeat else ()
+        )
         if count > 0:
             W_f, X_f, T_f, n_valid = self._phase2_device(
                 lm.params, lm.state, staged["P_hr_j"],
                 staged["idx"][:width], staged["mask"][:width],
-                W_hard, X_g, T_g,
+                W_hard, X_g, T_g, *feat,
             )
         else:
             # the reference's global-only branch (empty patch pool)
@@ -673,12 +748,16 @@ class CascadeRunner:
                 gm.params, gm.state, P_hr_j, P_lr_j,
                 jnp.asarray(pool_mask, bool), key,
             )
+        feat = (
+            (staged["global_feat"], staged["loc_feat"])
+            if self._use_lfeat else ()
+        )
         outs = []
         for b in sorted(set(min(b, self.max_patches) for b in buckets)):
             outs.append(self._phase2_device(
                 lm.params, lm.state, P_hr_j,
                 staged["idx"][:b], staged["mask"][:b],
-                staged["W_hard"], staged["X_g"], staged["T_g"],
+                staged["W_hard"], staged["X_g"], staged["T_g"], *feat,
             ))
         # force materialization (block_until_ready is not a real barrier on
         # tunneled runtimes)
@@ -859,12 +938,21 @@ class CascadeRunner:
             staged, P_hr, n = batch
             # dispatch phase 2 FIRST — it does not depend on the host-side
             # counts — so the count round trip overlaps phase-2 compute
-            W_f, X_f, T_f, n_valid, hard = self._phase2_packed(
-                lp, ls, P_hr,
-                staged["idx"], staged["mask"],
-                staged["W_hard"], staged["X_g"], staged["T_g"],
-                staged["count"], width,
-            )
+            if self._use_lfeat:
+                W_f, X_f, T_f, n_valid, hard = self._phase2_packed(
+                    lp, ls, P_hr,
+                    staged["idx"], staged["mask"],
+                    staged["W_hard"], staged["X_g"], staged["T_g"],
+                    staged["global_feat"], staged["loc_feat"],
+                    staged["count"], width,
+                )
+            else:
+                W_f, X_f, T_f, n_valid, hard = self._phase2_packed(
+                    lp, ls, P_hr,
+                    staged["idx"], staged["mask"],
+                    staged["W_hard"], staged["X_g"], staged["T_g"],
+                    staged["count"], width,
+                )
             try:
                 hard.copy_to_host_async()
             except AttributeError:
@@ -890,6 +978,10 @@ class CascadeRunner:
                         staged["mask"][i, :w2], staged["W_hard"][i],
                         staged["X_g"][i], staged["T_g"][i],
                     )
+                    if self._use_lfeat:
+                        over = over + (
+                            staged["global_feat"][i], staged["loc_feat"][i],
+                        )
                     if sharding is not None:
                         # per-cloud slices of mesh-sharded arrays land on
                         # single devices; host-materialize so the re-run

@@ -46,6 +46,17 @@ def build_argparser():
                    help="skip the per-point feature artifacts (the released "
                         "LocalSPFN config is feature-free; saves large "
                         "device->host transfers)")
+    p.add_argument("--features_only", action="store_true",
+                   help="write ONLY global_feat.npy/local_feat.npy per cloud "
+                        "(no metrics, no seg artifacts): the train-split "
+                        "feature-extraction pass that feeds feature-trained "
+                        "LocalSPFN patches (evaluation_globalSPFN.py is run "
+                        "on the train split for the same purpose). The "
+                        "per-patch feature gather happens on device so only "
+                        "[P,128] leaves the chip, not [N,128].")
+    p.add_argument("--skip_existing", action="store_true",
+                   help="skip clouds whose feature artifacts already exist "
+                        "(resume an interrupted features_only pass)")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 matmul inputs (f32 accumulation) in the "
                    "GlobalSPFN forward — the TPU mixed-precision eval mode")
@@ -108,6 +119,14 @@ def main(argv=None):
 
     metrics_fn = make_metrics_fn(conf.list_of_primitives)
 
+    @jax.jit
+    def feature_forward(params, state, P, inv, centers):
+        # forward on the shuffled order + on-device unshuffle + center
+        # gather: only [1024] + [pad,128] cross the tunnel per cloud
+        out, _ = apply_pointnet2(params, state, model_cfg, P, train=False)
+        pf = out["point_feat"][0][inv]
+        return out["global_feat"][0], pf[centers]
+
     table = ResultsTable()
     mious = []
     # Point-order normalization: the forward runs on a shuffled point order
@@ -118,11 +137,49 @@ def main(argv=None):
     # which has always done this for the patch-selection eval.
     perm_rng = np.random.RandomState(1789)
     for i in range(len(ds)):
-        rec = ds[i]
         stem = os.path.basename(ds.files[i]).rsplit(".h5", 1)[0]
         out_dir = os.path.join(args.output_folder, stem)
+        if (
+            args.features_only
+            and args.skip_existing
+            and os.path.isfile(os.path.join(out_dir, "local_feat.npy"))
+        ):
+            continue
+        rec = ds[i]
         os.makedirs(out_dir, exist_ok=True)
         n_pts = rec["P"].shape[0]
+        if args.features_only:
+            pc = np.asarray(rec["patch_centers"], np.int64)
+            if len(pc) == 0:
+                # no patches sampled for this cloud: nothing downstream
+                # reads features for it, but write the global code anyway
+                pc = np.zeros(1, np.int64)
+                n_real = 0
+            else:
+                n_real = len(pc)
+            # pad the center count to a power of two so the jitted gather
+            # compiles once per bucket, not once per cloud
+            pad = 1 << max(4, int(np.ceil(np.log2(len(pc)))))
+            pc_pad = np.zeros(pad, np.int64)
+            pc_pad[: len(pc)] = pc
+            perm = (
+                np.arange(n_pts)
+                if args.stored_point_order
+                else perm_rng.permutation(n_pts)
+            )
+            inv = jnp.asarray(np.argsort(perm))
+            gf, lf = feature_forward(
+                params, state, jnp.asarray(rec["P"][perm])[None], inv,
+                jnp.asarray(pc_pad),
+            )
+            np.save(os.path.join(out_dir, "global_feat.npy"), np.asarray(gf))
+            np.save(
+                os.path.join(out_dir, "local_feat.npy"),
+                np.asarray(lf)[:max(n_real, 1)].T,  # [128, P] reference layout
+            )
+            if i % 100 == 0:
+                print(f"[{i}/{len(ds)}] features", flush=True)
+            continue
         # Shuffle ensemble (eval/ensemble.py): R forwards over independent
         # point permutations, each unshuffled back to stored order, soft
         # outputs averaged after relaxed-IoU slot alignment. R=1 reproduces

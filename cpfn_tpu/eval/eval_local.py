@@ -88,10 +88,33 @@ def main(argv=None):
 
     metrics_fn = make_metrics_fn(conf.list_of_primitives)
 
-    @jax.jit
-    def local_forward(patches):
-        out, _ = apply_pointnet2(params, state, model_cfg, patches, train=False)
-        return spfn_postprocess(out)
+    # Feature-injected LocalSPFN (v11): the GlobalSPFN eval artifacts carry
+    # the global code (global_feat.npy, [1024]) and the full per-point
+    # feature map (local_feat_full.npy, [128, N]); each patch gets the
+    # feature at its SEED point (indices row 0 — the reference broadcasts
+    # local_feat at patch_centers the same way, dataloaders.py:275-281).
+    use_feat = bool(model_cfg.use_glob_features or model_cfg.use_loc_features)
+    if use_feat:
+        @jax.jit
+        def local_forward(patches, glob_f, loc_f):
+            kw = {}
+            if model_cfg.use_glob_features:
+                kw["glob_features"] = jnp.broadcast_to(
+                    glob_f[None], (patches.shape[0], glob_f.shape[0])
+                )
+            if model_cfg.use_loc_features:
+                kw["loc_features"] = loc_f
+            out, _ = apply_pointnet2(
+                params, state, model_cfg, patches, train=False, **kw
+            )
+            return spfn_postprocess(out)
+    else:
+        @jax.jit
+        def local_forward(patches):
+            out, _ = apply_pointnet2(
+                params, state, model_cfg, patches, train=False
+            )
+            return spfn_postprocess(out)
 
     @jax.jit
     def normalize_patches(P_hr, idx):
@@ -146,6 +169,17 @@ def main(argv=None):
             # ensemble (eval/ensemble.py) averages in a common order. R=1
             # reproduces the single-forward path exactly.
             n_runs = max(1, args.n_shuffles)
+            if use_feat:
+                glob_f = jnp.asarray(
+                    np.load(os.path.join(spfn_dir, "global_feat.npy")),
+                    jnp.float32,
+                )
+                lff = np.load(
+                    os.path.join(spfn_dir, "local_feat_full.npy")
+                )  # [128, N]
+                loc_f = jnp.asarray(
+                    lff[:, padded[:, 0]].T, jnp.float32
+                )  # [max_patches, 128]; padded rows are masked downstream
             acc = None
             for r in range(n_runs):
                 if args.stored_point_order:
@@ -160,9 +194,14 @@ def main(argv=None):
                 idx_r = jnp.asarray(
                     np.take_along_axis(padded, rowperm, axis=1), jnp.int32
                 )
-                X_p, T_p, W_p = local_forward(
-                    normalize_patches(P_hr, idx_r)
-                )
+                if use_feat:
+                    X_p, T_p, W_p = local_forward(
+                        normalize_patches(P_hr, idx_r), glob_f, loc_f
+                    )
+                else:
+                    X_p, T_p, W_p = local_forward(
+                        normalize_patches(P_hr, idx_r)
+                    )
                 inv = jnp.asarray(np.argsort(rowperm, axis=1))
                 X_p, T_p, W_p = (
                     jnp.take_along_axis(a, inv[..., None], axis=1)

@@ -61,6 +61,32 @@ def main(argv=None):
     l_params["heads"] = heads
     l_state = g_state  # BN running stats: identical shapes across the nets
 
+    if l_cfg.use_glob_features or l_cfg.use_loc_features:
+        # Feature-trained LocalSPFN: fp1's first conv consumes
+        # [l2_skip(256) | l3(1024) | glob(1024) | loc(128)] (init_pointnet2 +
+        # the _feature_propagation concat order). Copy the global kernel
+        # into the skip+l3 rows and ZERO the new feature rows: at step 0
+        # the network computes exactly the feature-free warm start (the
+        # injected features multiply by zero) and training grows into them.
+        import numpy as np
+
+        n_copy = g_cfg.sa2_mlp[-1] + g_cfg.sa3_mlp[-1]
+        fp1 = dict(l_params["fp1"])
+        convs = list(fp1["convs"])
+        w_g = np.asarray(convs[0]["w"])  # [n_copy, C_out]
+        offset = 0
+        if l_cfg.use_glob_features:
+            offset += l_cfg.glob_feature_dim
+        if l_cfg.use_loc_features:
+            offset += l_cfg.loc_feature_dim
+        w_l = np.concatenate(
+            [w_g, np.zeros((offset, w_g.shape[1]), w_g.dtype)], axis=0
+        )
+        assert w_l.shape[0] == n_copy + offset
+        convs[0] = {"w": jax.numpy.asarray(w_l), "b": convs[0]["b"]}
+        fp1["convs"] = convs
+        l_params["fp1"] = fp1
+
     # sanity: the sliced tree must match a fresh local init's structure
     ref_p, ref_s = init_pointnet2(jax.random.PRNGKey(0), l_cfg)
     chk = jax.tree_util.tree_structure(ref_p)

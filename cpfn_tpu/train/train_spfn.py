@@ -105,6 +105,13 @@ def main(argv=None):
     factory.register_primitives(list(conf.list_of_primitives))
     model_cfg = conf.model_config(args.network)
     train_cfg = conf.train_config()
+    # feature-trained LocalSPFN: the per-record glob/loc feature arrays ride
+    # along in every batch (host iterator AND the HBM-staged device dataset)
+    batch_keys = _BATCH_KEYS
+    if model_cfg.use_glob_features:
+        batch_keys = batch_keys + ("glob_features",)
+    if model_cfg.use_loc_features:
+        batch_keys = batch_keys + ("loc_features",)
 
     if args.network == "GlobalSPFN":
         name = "globalspfn"
@@ -132,8 +139,14 @@ def main(argv=None):
                 patch_root, stems
             )
             patch_files = _shard_slice(patch_files, skip_n, first_n)
+            # feature-trained LocalSPFN (config model_overrides sets
+            # use_glob/loc_features): the patches must have been created
+            # WITH --path_features so the h5s carry glob/loc_features
+            use_feat = bool(
+                model_cfg.use_glob_features or model_cfg.use_loc_features
+            )
             return TrainLocalSPFNDataset(
-                patch_files, k_max, noisy, use_features=False, seed=seed
+                patch_files, k_max, noisy, use_features=use_feat, seed=seed
             )
 
     train_ds = make_ds(
@@ -228,9 +241,9 @@ def main(argv=None):
                 if out is None:
                     out = {
                         k: np.empty((len(ds),) + rec[k].shape, rec[k].dtype)
-                        for k in _BATCH_KEYS
+                        for k in batch_keys
                     }
-                for k in _BATCH_KEYS:
+                for k in batch_keys:
                     out[k][i] = rec[k]
             return out
 
@@ -277,7 +290,7 @@ def main(argv=None):
             batches = (jnp.asarray(ix, jnp.int32) for ix in batch_indices)
         else:
             batches = batch_iterator(
-                train_ds, conf.batch_size, rng=shuffle_rng, keys=_BATCH_KEYS
+                train_ds, conf.batch_size, rng=shuffle_rng, keys=batch_keys
             )
         for batch in batches:
             key, sub = jax.random.split(key)
@@ -322,7 +335,7 @@ def main(argv=None):
             bs = min(conf.batch_size, len(val_ds))
             stacked_val = None
             for batch in batch_iterator(
-                val_ds, bs, rng=np.random.RandomState(7), keys=_BATCH_KEYS,
+                val_ds, bs, rng=np.random.RandomState(7), keys=batch_keys,
             ):
                 if len(batch["P"]) != bs:
                     continue  # lax.map needs equal batch shapes
