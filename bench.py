@@ -48,6 +48,11 @@ BF16 = os.environ.get("CPFN_BENCH_BF16", "") not in ("", "0")
 SHUFFLES = int(os.environ.get("CPFN_BENCH_SHUFFLES", "1"))
 # fused eval-mode Pallas MLP chains (ops/fused_mlp.py) in all three forwards
 FUSED = os.environ.get("CPFN_BENCH_FUSED", "") not in ("", "0")
+# feature-injected LocalSPFN (the v11 checkpoints train with the GlobalSPFN
+# glob/loc features; the cascade threads them from phase 1 into phase 2)
+LOCAL_FEATURES = os.environ.get(
+    "CPFN_BENCH_LOCAL_FEATURES", ""
+) not in ("", "0")
 # bucketed two-phase cascade (CascadeRunner.run_clouds_bucketed): phase 2
 # dispatched at the smallest compiled width >= the cloud's patch count
 # instead of the fixed max_patches stack — identical outputs
@@ -125,10 +130,13 @@ def main():
         clouds.append((P_hr, P_hr[lr_idx], pool_mask))
 
     def bundle(key, sizes, name):
+        feat = LOCAL_FEATURES and name.startswith("localspfn")
         cfg = PointNet2Config(
             output_sizes=sizes,
             compute_dtype="bfloat16" if BF16 else None,
             fused_eval_mlp=FUSED,
+            use_glob_features=feat,
+            use_loc_features=feat,
         )
         params, state = init_pointnet2(key, cfg)
         if TRAINED:
@@ -240,6 +248,8 @@ def main():
         suffix += f", ensemble x{SHUFFLES}"
     if FUSED:
         suffix += ", fused-mlp"
+    if LOCAL_FEATURES:
+        suffix += ", feature-injected local (v11)"
     if PACKED and SHUFFLES == 1:
         suffix += f", packed g{PACK_GROUP}w{PACK_WIDTH}"
     elif BUCKETED and SHUFFLES == 1:

@@ -23,3 +23,17 @@ Networks, ICCV 2021; reference: erictuanle/CPFN) with a TPU-first design:
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+if _os.environ.get("CPFN_PLATFORM"):
+    # Hard platform override for subprocesses: the axon sitecustomize calls
+    # jax.config.update("jax_platforms", "axon,...") at interpreter startup,
+    # which silently overrides JAX_PLATFORMS from the environment — a
+    # CPU-only helper subprocess (corpus gen, parity eval) would otherwise
+    # attach to the TPU and contend with a training run. Setting
+    # CPFN_PLATFORM=cpu forces it back before any backend initializes
+    # (same dance as tests/conftest.py).
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["CPFN_PLATFORM"])

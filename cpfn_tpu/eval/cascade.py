@@ -272,23 +272,23 @@ class CascadeRunner:
                         width, g_feat=g_feat, loc_feat=loc_feat,
                     )
 
-                self._phase2_packed = jax.jit(
-                    jax.vmap(
-                        phase2_packed_feat,
-                        in_axes=(
-                            None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None,
-                        ),
-                    ),
-                    static_argnums=11,
+                self._phase2_packed_raw = jax.vmap(
+                    phase2_packed_feat,
+                    in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, 0, 0, None),
                 )
+                self._phase2_packed = jax.jit(
+                    self._phase2_packed_raw, static_argnums=11
+                )
+                self._phase2_packed_width_argnum = 11
             else:
-                self._phase2_packed = jax.jit(
-                    jax.vmap(
-                        phase2_packed,
-                        in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, None),
-                    ),
-                    static_argnums=9,
+                self._phase2_packed_raw = jax.vmap(
+                    phase2_packed,
+                    in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0, None),
                 )
+                self._phase2_packed = jax.jit(
+                    self._phase2_packed_raw, static_argnums=9
+                )
+                self._phase2_packed_width_argnum = 9
         else:
             self._phase2_device = None
             self._phase2_packed = None
@@ -510,14 +510,24 @@ class CascadeRunner:
             # one dispatch covers `group` clouds' global forwards +
             # extractions, and the stacked `count` output makes the
             # per-group patch-count fetch a single array transfer
-            self._phase1_batch = jax.jit(jax.vmap(
+            # raw (unjitted) vmapped bodies are kept for shard_map wrapping:
+            # parallel.make_cloud_parallel_packed shards the group axis with
+            # per-device programs (ZERO collectives by construction — GSPMD
+            # partitioning of the same graphs inserts while-predicate
+            # all-reduces and top_k all-gathers, tools/mesh_proof.py)
+            self._phase1_batch_raw = jax.vmap(
                 phase1_device, in_axes=(None, None, 0, 0, 0, 0)
-            ))
-            self._phase1_batch_ps = (
-                jax.jit(jax.vmap(
+            )
+            self._phase1_batch = jax.jit(self._phase1_batch_raw)
+            self._phase1_batch_ps_raw = (
+                jax.vmap(
                     phase1_device_ps,
                     in_axes=(None, None, None, None, 0, 0, 0),
-                ))
+                )
+                if patchselec_model is not None else None
+            )
+            self._phase1_batch_ps = (
+                jax.jit(self._phase1_batch_ps_raw)
                 if patchselec_model is not None else None
             )
         else:
@@ -835,7 +845,7 @@ class CascadeRunner:
 
     def run_clouds_packed(
         self, clouds, key=None, group: int = 4, width: int = 8,
-        buckets=(8, 16, 32), sharding=None,
+        buckets=(8, 16, 32), sharding=None, graphs=None,
     ):
         """PACKED serving path (round 4): phase 1 for `group` clouds in ONE
         vmapped dispatch, one stacked patch-count transfer per group, then
@@ -876,6 +886,13 @@ class CascadeRunner:
                 f"{len(sharding.device_set)} devices"
             )
         width = min(int(width), self.max_patches)
+        # `graphs`: optional {"phase1", "phase1_ps", "phase2"} overrides —
+        # parallel.make_cloud_parallel_packed passes shard_map-wrapped
+        # versions whose per-device programs are collective-free by
+        # construction (tools/mesh_proof.py pins it)
+        p1_fn = (graphs or {}).get("phase1", self._phase1_batch)
+        p1ps_fn = (graphs or {}).get("phase1_ps", self._phase1_batch_ps)
+        p2_fn = (graphs or {}).get("phase2", self._phase2_packed)
         gm, lm, pm = self.global_model, self.local_model, self.patchselec_model
         gp, gs, lp, ls = gm.params, gm.state, lm.params, lm.state
         pp, ps_ = (pm.params, pm.state) if pm is not None else (None, None)
@@ -920,14 +937,14 @@ class CascadeRunner:
             if sharding is not None:
                 keys_ = jax.device_put(keys_, sharding)
             if full[0][0][2] is None:
-                staged = self._phase1_batch_ps(
+                staged = p1ps_fn(
                     gp, gs, pp, ps_, P_hr, P_lr, keys_,
                 )
             else:
                 pool = stack_group([c[0][2] for c in full], bool)
                 if sharding is not None:
                     pool = jax.device_put(pool, sharding)
-                staged = self._phase1_batch(
+                staged = p1_fn(
                     gp, gs, P_hr, P_lr, pool, keys_
                 )
             return staged, P_hr, n
@@ -939,7 +956,7 @@ class CascadeRunner:
             # dispatch phase 2 FIRST — it does not depend on the host-side
             # counts — so the count round trip overlaps phase-2 compute
             if self._use_lfeat:
-                W_f, X_f, T_f, n_valid, hard = self._phase2_packed(
+                W_f, X_f, T_f, n_valid, hard = p2_fn(
                     lp, ls, P_hr,
                     staged["idx"], staged["mask"],
                     staged["W_hard"], staged["X_g"], staged["T_g"],
@@ -947,7 +964,7 @@ class CascadeRunner:
                     staged["count"], width,
                 )
             else:
-                W_f, X_f, T_f, n_valid, hard = self._phase2_packed(
+                W_f, X_f, T_f, n_valid, hard = p2_fn(
                     lp, ls, P_hr,
                     staged["idx"], staged["mask"],
                     staged["W_hard"], staged["X_g"], staged["T_g"],

@@ -89,9 +89,14 @@ def main(argv=None):
     os.makedirs(args.output_folder, exist_ok=True)
 
     params, state = init_pointnet2(jax.random.PRNGKey(0), model_cfg)
-    ckpt = args.weights or os.path.join(conf.checkpoint_dir, "globalspfn")
-    restored, _ = restore_checkpoint(ckpt, {"params": params, "state": state})
-    params, state = restored["params"], restored["state"]
+    if args.weights != "__random_init__":
+        # the sentinel keeps the seeded init (tools/reference_parity.py
+        # compares both stacks on identical exported random weights)
+        ckpt = args.weights or os.path.join(conf.checkpoint_dir, "globalspfn")
+        restored, _ = restore_checkpoint(
+            ckpt, {"params": params, "state": state}
+        )
+        params, state = restored["params"], restored["state"]
 
     csv_file = (
         conf.train_data_file

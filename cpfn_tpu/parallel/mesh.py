@@ -156,15 +156,19 @@ def make_cloud_parallel_packed(
     buckets=(8, 16, 32),
 ):
     """Cloud-parallel PACKED serving: the packed path's group axis sharded
-    over the mesh. `run_clouds_packed` already batches phase 1 and phase 2
-    over a `group` of clouds with zero cross-cloud communication, so placing
-    the stacked group inputs on a `P(axis_name)` sharding lets GSPMD
-    partition both vmapped graphs across the chips with no collectives at
-    all — each chip runs group/n_chips clouds of every dispatch, and the
-    per-group host syncs (one stacked count read, one stacked hard-label
-    transfer) are amortized over the whole mesh. This composes the round-4
-    single-chip throughput win (fewer dispatches + width-`width` padded
-    compute instead of max_patches) with the v5e-8 deployment shape of
+    over the mesh via `shard_map` — each device runs a self-contained
+    group/n_chips-cloud program, so the partitioned graphs contain ZERO
+    collective ops **by construction** (tools/mesh_proof.py compiles them
+    on the 8-device CPU mesh and asserts it; `__graft_entry__.
+    dryrun_multichip` fails if one ever appears). GSPMD auto-partitioning
+    of the same vmapped graphs is NOT collective-free in practice: the
+    compiler inserts per-iteration while-predicate all-reduces (greedy
+    patch extraction / merge loops) and group-axis all-gathers around
+    top_k sorts (ball query) — measured round 5, mesh_proof.json.
+
+    Per-group host syncs (one stacked count read, one stacked hard-label
+    transfer) amortize over the whole mesh, composing the packed path's
+    single-chip dispatch savings with the v5e-8 deployment shape of
     `make_cloud_parallel_cascade`.
 
     `runner` must be a CascadeRunner built WITHOUT a mesh. Returns
@@ -176,6 +180,9 @@ def make_cloud_parallel_packed(
         raise ValueError("runner was built with a mesh; build it without")
     sharding = NamedSharding(mesh, P(axis_name))
     n_dev = mesh.devices.size
+    graphs = make_packed_mesh_graphs(
+        runner, mesh, axis_name=axis_name, width=width
+    )
 
     def run(clouds, group: int | None = None, key=None):
         group = 2 * n_dev if group is None else int(group)
@@ -185,10 +192,79 @@ def make_cloud_parallel_packed(
             )
         return runner.run_clouds_packed(
             clouds, key=key, group=group, width=width, buckets=buckets,
-            sharding=sharding,
+            sharding=sharding, graphs=graphs,
         )
 
     return run
+
+
+def make_packed_mesh_graphs(
+    runner, mesh: Mesh, axis_name: str = "dp", width: int = 8,
+):
+    """shard_map-wrapped packed phase graphs: group axis split over the
+    mesh, params/state replicated, every per-device program independent
+    (no collectives possible — nothing in the bodies communicates).
+    Returns the {"phase1", "phase1_ps", "phase2"} dict that
+    `CascadeRunner.run_clouds_packed(graphs=...)` consumes."""
+    dp = P(axis_name)
+    rep = P()
+
+    def shmap(fn, in_specs):
+        return jax.jit(jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs, out_specs=dp,
+            check_vma=False,
+        ))
+
+    graphs = {
+        "phase1": shmap(
+            runner._phase1_batch_raw, (rep, rep, dp, dp, dp, dp)
+        ),
+    }
+    if runner._phase1_batch_ps_raw is not None:
+        graphs["phase1_ps"] = shmap(
+            runner._phase1_batch_ps_raw,
+            (rep, rep, rep, rep, dp, dp, dp),
+        )
+    # phase 2's `width` is a static python int inside the body — close over
+    # it (shard_map has no static args)
+    raw2 = runner._phase2_packed_raw
+    n_data_args = runner._phase2_packed_width_argnum - 2  # minus lp, ls
+
+    def p2_body(lp, ls, *data):
+        return raw2(lp, ls, *data, width)
+
+    p2 = shmap(p2_body, (rep, rep) + (dp,) * n_data_args)
+
+    def p2_fn(lp, ls, *args):
+        # drop the trailing width the runner passes; the wrapped graph
+        # closed over it
+        assert args[-1] == width, (args[-1], width)
+        return p2(lp, ls, *args[:-1])
+
+    p2_fn.jitted = p2  # exposed for HLO inspection (tools/mesh_proof.py)
+    graphs["phase2"] = p2_fn
+    return graphs
+
+
+_COLLECTIVE_OPS = (
+    "all-reduce", "all-gather", "all-to-all", "collective-permute",
+    "reduce-scatter", "collective-broadcast", "ragged-all-to-all",
+)
+
+
+def scan_hlo_for_collectives(hlo_text: str) -> list:
+    """Names of collective ops present at instruction positions in optimized
+    HLO (start-variants like `all-reduce-start` match the base name)."""
+    found = set()
+    for line in hlo_text.splitlines():
+        s = line.lstrip()
+        if " = " not in s:
+            continue
+        rhs = s.split(" = ", 1)[1]
+        for c in _COLLECTIVE_OPS:
+            if rhs.startswith(c) or (" " + c + "(") in rhs:
+                found.add(c)
+    return sorted(found)
 
 
 def make_patch_parallel_forward(

@@ -85,7 +85,9 @@ def main(argv=None):
         ) from e
 
     p = argparse.ArgumentParser()
-    p.add_argument("--checkpoint", required=True, help="orbax checkpoint dir")
+    p.add_argument("--checkpoint", default="",
+                   help="orbax checkpoint dir (empty: export the seeded "
+                        "random init — pipeline-parity runs)")
     p.add_argument("--config_file", default="configs/config_globalSPFN.yml")
     p.add_argument(
         "--network", default="GlobalSPFN",
@@ -98,9 +100,14 @@ def main(argv=None):
     factory.register_primitives(list(conf.list_of_primitives))
     cfg = conf.model_config(args.network)
     params, state = init_pointnet2(jax.random.PRNGKey(0), cfg)
-    restored, at = restore_checkpoint(
-        args.checkpoint, {"params": params, "state": state}
-    )
+    if args.checkpoint:
+        restored, at = restore_checkpoint(
+            args.checkpoint, {"params": params, "state": state}
+        )
+    else:
+        # random-init export: still a full pipeline-parity artifact (the
+        # reference eval runs the same function on the same weights)
+        restored, at = {"params": params, "state": state}, 0
     sd = state_dict_from_pytrees(restored["params"], restored["state"])
     torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
                 for k, v in sd.items()}, args.out)

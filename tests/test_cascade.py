@@ -4,6 +4,7 @@ output must beat garbage (metrics finite, normals unit, patches valid)."""
 
 import jax
 import jax.numpy as jnp
+import pytest
 import numpy as np
 
 from cpfn_tpu.data import SyntheticSceneConfig, make_synthetic_scene
@@ -11,6 +12,10 @@ from cpfn_tpu.eval import CascadeRunner, ModelBundle
 from cpfn_tpu.fitting import factory
 from cpfn_tpu.metrics import compute_all_metrics
 from cpfn_tpu.nn import PointNet2Config, init_pointnet2
+
+pytestmark = pytest.mark.slow  # multi-graph integration (compile-heavy); default suite
+# stays <3 min: pytest -m "not slow"
+
 
 TINY = dict(
     sa1_points=32, sa2_points=8, sa1_samples=8, sa2_samples=8,

@@ -23,6 +23,10 @@ import jax.numpy as jnp
 from cpfn_tpu.eval.cascade import CascadeRunner, ModelBundle
 from cpfn_tpu.nn import PointNet2Config, init_pointnet2
 
+pytestmark = pytest.mark.slow  # multi-graph integration (compile-heavy); default suite
+# stays <3 min: pytest -m "not slow"
+
+
 TINY = dict(
     sa1_points=16, sa2_points=8, sa1_samples=8, sa2_samples=8,
     sa1_mlp=(8, 8), sa2_mlp=(8, 8), sa3_mlp=(8, 16),

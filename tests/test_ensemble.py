@@ -8,6 +8,7 @@ and identical runs change nothing), and the leading-dims (per-patch) path.
 """
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from cpfn_tpu.eval.ensemble import (
@@ -15,6 +16,8 @@ from cpfn_tpu.eval.ensemble import (
     ensemble_average,
 )
 
+
+pytestmark = pytest.mark.slow  # compile-heavy integration; default suite: pytest -m "not slow"
 
 def _soft_membership(rng, n, k):
     """A peaked random soft membership [n, k] (rows ~ one-hot + noise)."""

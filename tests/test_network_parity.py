@@ -22,6 +22,10 @@ import jax.numpy as jnp
 
 from cpfn_tpu.nn import PointNet2Config, apply_pointnet2, init_pointnet2
 
+pytestmark = pytest.mark.slow  # multi-graph integration (compile-heavy); default suite
+# stays <3 min: pytest -m "not slow"
+
+
 
 def _load_reference_pn2():
     try:

@@ -13,6 +13,10 @@ import yaml
 from cpfn_tpu.data import SyntheticSceneConfig, make_synthetic_scene, write_scene_hdf5
 from cpfn_tpu.fitting import factory
 
+pytestmark = pytest.mark.slow  # multi-graph integration (compile-heavy); default suite
+# stays <3 min: pytest -m "not slow"
+
+
 N_HR, N_LR, N_PATCH = 1024, 128, 128
 TINY_OVERRIDES = dict(
     sa1_points=16, sa2_points=8, sa1_samples=8, sa2_samples=8,

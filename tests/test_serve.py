@@ -18,6 +18,8 @@ from cpfn_tpu.models import (  # noqa: E402
     PatchSelectionNet,
 )
 
+
+pytestmark = pytest.mark.slow  # compile-heavy integration; default suite: pytest -m "not slow"
 TINY = dict(
     sa1_points=16, sa2_points=8, sa1_samples=8, sa2_samples=8,
     sa1_mlp=(16, 16), sa2_mlp=(16, 16), sa3_mlp=(16, 32),

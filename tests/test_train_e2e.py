@@ -6,6 +6,7 @@ import os
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cpfn_tpu.data import (
     SyntheticSceneConfig,
@@ -23,6 +24,10 @@ from cpfn_tpu.train import (
     make_patch_selection_train_step,
 )
 from cpfn_tpu.train.schedules import batch_norm_momentum, staircase_learning_rate
+
+pytestmark = pytest.mark.slow  # multi-graph integration (compile-heavy); default suite
+# stays <3 min: pytest -m "not slow"
+
 
 TINY_MODEL = dict(
     sa1_points=32, sa2_points=8, sa1_samples=8, sa2_samples=8,
