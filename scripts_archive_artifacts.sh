@@ -27,6 +27,17 @@ for d in "$D"/eval_out* "$D"/globalspfn_eval*; do
 done
 copydir "$D/perf_r3" perf_r3
 copydir "$D/perf_r4" perf_r4
+# round-5 artifacts live in the round-5 tree (subshell: OUT reverts after)
+mkdir -p artifacts_r5/perf_r5
+( OUT=artifacts_r5
+  copydir "$D/perf_r5" perf_r5
+  copydir "$D/eval_out_v11" eval_out_v11
+  copydir "$D/globalspfn_eval_g2" globalspfn_eval_g2
+  for f in "$D"/perf_r5/*.err; do
+    [ -f "$f" ] || continue
+    tail -6 "$f" > "$OUT/perf_r5/$(basename "$f").tail" || FAIL=1
+  done
+)
 # bench stderr tails carry the warmup timings for the cold-start experiment
 for f in "$D"/perf_r3/*.err "$D"/perf_r4/*.err; do
   [ -f "$f" ] || continue
@@ -64,9 +75,9 @@ fi
 
 # Reset-proofing is only real once committed (ADVICE r3, medium): stage the
 # tree and commit iff something changed. Never fail the calling pipeline.
-git add -A $OUT >/dev/null 2>&1 || true
-if ! git diff --cached --quiet -- $OUT .xla_cache 2>/dev/null; then
-  git commit -q -m "archive r4 artifacts${1:+: $1}" -- $OUT .xla_cache || true
+git add -A $OUT artifacts_r5 >/dev/null 2>&1 || true
+if ! git diff --cached --quiet -- $OUT artifacts_r5 .xla_cache 2>/dev/null; then
+  git commit -q -m "archive artifacts${1:+: $1}" -- $OUT artifacts_r5 .xla_cache || true
   echo "committed artifact snapshot${1:+ ($1)}"
 fi
 exit 0

@@ -207,6 +207,8 @@ def main():
     p.add_argument("--n_points", type=int, default=20000)
     p.add_argument("--skip_ref", action="store_true")
     p.add_argument("--skip_tpu", action="store_true")
+    p.add_argument("--out_json", default=os.path.join(
+        REPO, "artifacts_r5", "reference_parity.json"))
     args = p.parse_args()
     os.makedirs(args.workdir, exist_ok=True)
     os.makedirs(os.path.join(args.workdir, "patches", "0.05"), exist_ok=True)
@@ -283,7 +285,7 @@ def main():
     )
     report["checkpoint"] = args.checkpoint or "random-init"
     report["point_order"] = "stored (fixed_order both sides)"
-    out = os.path.join(REPO, "artifacts_r5", "reference_parity.json")
+    out = args.out_json
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:
         json.dump(report, f, indent=1)
