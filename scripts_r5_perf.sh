@@ -57,6 +57,12 @@ bench_stage bench_packed_oracle_g4w16.json \
   CPFN_BENCH_PACKED=1 CPFN_BENCH_PACK_GROUP=4 CPFN_BENCH_PACK_WIDTH=16
 bash scripts_archive_artifacts.sh "r5 packed oracle sweep" || true
 
+# ---- P3b: fused-MLP + bf16 post-BQ-rework rows (VERDICT weak 4: both
+# levers lost pre-rework; the graph shape changed enough to re-ask)
+bench_stage bench_fused_oracle_postbq.json CPFN_BENCH_FUSED=1
+bench_stage bench_bf16_oracle_postbq.json CPFN_BENCH_BF16=1
+bash scripts_archive_artifacts.sh "r5 fused/bf16 post-BQ rows" || true
+
 # ---- P4: trained benches (v11 feature-injected local)
 if [ -d $B ]; then
   bench_stage bench_trained_v11.json CPFN_BENCH_TRAINED=1 \
