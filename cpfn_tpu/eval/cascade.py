@@ -191,13 +191,7 @@ class CascadeRunner:
             # column compaction, normal/type fusion — as ONE dispatch
             # (9 separate calls otherwise; dispatch latency is real on
             # tunneled runtimes)
-            from cpfn_tpu.merging.device_merge import heuristic_merge_device
-            from cpfn_tpu.merging.fusion import (
-                _compact_columns,
-                _fuse_normals_types,
-                _fusion_inputs,
-                get_point_final,
-            )
+            from cpfn_tpu.merging.fusion import fuse_cascade_fast
 
             k_g, k_l = self.n_max_global, self.n_max_local
 
@@ -220,22 +214,15 @@ class CascadeRunner:
                     lp, ls, local_model.cfg, patches, train=False, **kw
                 )
                 X_p, T_p, W_p = spfn_postprocess(out)
-                W_p = W_p * mask[:, None, None]
-                similarity, point2primitive = _fusion_inputs(
-                    W_hard, W_p, idx, W_hard.shape[0]
+                # patch-major fast fusion, same as the single-dispatch graph
+                # (fusion.py: the point-major [N, P, K_l] scatter pays
+                # partial-lane update rows, ~40 ms at the north-star shape vs
+                # ~7 ms patch-major; outputs are bit-identical — the parity
+                # suites pin phase-2 == single-dispatch)
+                return fuse_cascade_fast(
+                    W_p, X_p, T_p, idx, W_hard, X_g, T_g,
+                    k_g, k_l, out_width=self.out_width, patch_mask=mask,
                 )
-                labels = heuristic_merge_device(
-                    similarity, idx.shape[0], k_g, k_l, 0.0
-                )
-                n_ids = similarity.shape[0] + k_l + k_g
-                fused = get_point_final(point2primitive, labels, n_ids)
-                W_f, n_valid = _compact_columns(
-                    fused, jnp.int32(n_ids), max(self.out_width, k_g)
-                )
-                X_f, T_f = _fuse_normals_types(
-                    X_p, T_p, idx, X_g, T_g, T_g.shape[-1], mask
-                )
-                return W_f, X_f, T_f, n_valid
 
             self._phase2_device = phase2_device
 
