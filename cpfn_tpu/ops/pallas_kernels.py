@@ -351,6 +351,15 @@ def farthest_point_sample_pallas(
 def _fps_dispatch(points: jax.Array, num_samples: int) -> jax.Array:
     B, N, _ = points.shape
     if B > 1 and B * N <= _FPS_BATCHED_MAX_POINTS:
+        import os
+
+        # round-5 latency rework, opt-in until the hardware sweep
+        # (tools/fps_variants_time.py) decides the default; bit-identical
+        if os.environ.get("CPFN_FPS_STACKED", "") not in ("", "0"):
+            return _farthest_point_sample_pallas_stacked(
+                points, num_samples,
+                unroll=int(os.environ.get("CPFN_FPS_UNROLL", "4")),
+            )
         return _farthest_point_sample_pallas_batched(points, num_samples)
     n_pad = -(-N // _LANES) * _LANES
     R = n_pad // _LANES
@@ -414,6 +423,105 @@ def _farthest_point_sample_pallas_batched(
             vmem_limit_bytes=96 * 1024 * 1024
         ),
     )(x, y, z)
+    return out
+
+
+def _fps_batched_kernel_stacked(
+    xyz_ref, out_ref, dist_ref, *, num_samples, n_pad, n_batch, unroll
+):
+    """Latency-rework variant of `_fps_batched_kernel` (round 5).
+
+    The sequential FPS chain is ~27us/iteration on the v5e — far above the
+    ~1us the VPU needs for the [B, N] elementwise volume, i.e. per-op
+    overhead inside the Mosaic loop body dominates. Two reworks:
+
+      1. Coordinates live in ONE [3B, N] plane (x rows, then y rows, then z
+         rows). The selected point's coordinates come out of a single
+         masked-sum lane reduction over [3B, N] instead of three separate
+         [B, N] reductions, and the squared distance is two static-slice
+         adds (`dsq[:B] + dsq[B:2B] + dsq[2B:3B]`) — sublane blocks of B
+         rows are 8-aligned for all production batch sizes.
+      2. `lax.fori_loop(..., unroll=k)` amortizes loop bookkeeping across
+         k picks (the serial dependency is unchanged; only the loop
+         carries fewer trips).
+
+    Outputs are bit-identical to `_fps_batched_kernel` (same reduction
+    orders per element; validity encoded in the distance buffer the same
+    way). Refs: xyz [3B, n_pad]; out [B, num_samples] i32; dist [B, n_pad].
+    """
+    B = n_batch
+    N = xyz_ref.shape[1]
+    xyz = xyz_ref[...]
+    x = xyz[:B]
+    y = xyz[B : 2 * B]
+    z = xyz[2 * B :]
+    valid = (x * x + y * y + z * z) > 1e-3
+    dist_ref[...] = jnp.where(valid, 1e10, -1.0).astype(jnp.float32)
+    iota3 = lax.broadcasted_iota(jnp.int32, (3 * B, N), 1)
+    point_iota = lax.broadcasted_iota(jnp.int32, (B, N), 1)
+    col_iota = lax.broadcasted_iota(jnp.int32, (B, num_samples), 1)
+    out_ref[...] = jnp.zeros((B, num_samples), jnp.int32)
+
+    def body(j, last3):
+        sel3 = iota3 == last3
+        coords3 = jnp.sum(
+            jnp.where(sel3, xyz, 0.0), axis=1, keepdims=True
+        )  # [3B, 1]
+        diff = xyz - coords3
+        dsq = diff * diff
+        d = dsq[:B] + dsq[B : 2 * B] + dsq[2 * B :]
+        new_dist = jnp.minimum(dist_ref[...], d)
+        dist_ref[...] = new_dist
+        m = jnp.max(new_dist, axis=1, keepdims=True)
+        nxt = jnp.min(
+            jnp.where(new_dist == m, point_iota, n_pad),
+            axis=1, keepdims=True,
+        ).astype(jnp.int32)
+        out_ref[...] = jnp.where(col_iota == j, nxt, out_ref[...])
+        return jnp.concatenate([nxt, nxt, nxt], axis=0)
+
+    lax.fori_loop(
+        1, num_samples, body, jnp.zeros((3 * B, 1), jnp.int32),
+        unroll=unroll,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_samples", "unroll")
+)
+def _farthest_point_sample_pallas_stacked(
+    points: jax.Array, num_samples: int, unroll: int = 4
+) -> jax.Array:
+    """[B, N, 3] -> [B, num_samples] int32 via the stacked-plane batched
+    kernel; bit-identical to `_farthest_point_sample_pallas_batched`."""
+    B, N, _ = points.shape
+    n_pad = -(-N // _LANES) * _LANES
+    coords = jnp.moveaxis(points, -1, 1)  # [B, 3, N]
+    if n_pad != N:
+        coords = jnp.pad(coords, ((0, 0), (0, 0), (0, n_pad - N)))
+    # [3B, n_pad] with x rows first, then y rows, then z rows
+    xyz = jnp.concatenate(
+        [coords[:, 0], coords[:, 1], coords[:, 2]], axis=0
+    )
+    kernel = functools.partial(
+        _fps_batched_kernel_stacked,
+        num_samples=num_samples, n_pad=n_pad, n_batch=B, unroll=unroll,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec((3 * B, n_pad), lambda: (0, 0),
+                         memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec((B, num_samples), lambda: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, num_samples), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((B, n_pad), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024
+        ),
+    )(xyz)
     return out
 
 

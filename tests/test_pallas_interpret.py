@@ -230,3 +230,44 @@ def test_ball_query_kernel_interpret_explicit_chunks(rng):
     for c, g in got.items():
         np.testing.assert_array_equal(np.asarray(g), np.asarray(ref),
                                       err_msg=f"chunk={c}")
+
+
+def _interpret_fps_stacked(points, num_samples, unroll=4):
+    from cpfn_tpu.ops import pallas_kernels
+
+    old_call = pl.pallas_call
+    try:
+        def call_interpret(*a, **k):
+            k["interpret"] = True
+            return old_call(*a, **k)
+
+        pallas_kernels.pl.pallas_call = call_interpret
+        return pallas_kernels._farthest_point_sample_pallas_stacked.__wrapped__(
+            points, num_samples, unroll
+        )
+    finally:
+        pallas_kernels.pl.pallas_call = old_call
+
+
+def test_fps_stacked_kernel_interpret(rng):
+    """The round-5 stacked-plane latency rework must be bit-identical to the
+    XLA path (and hence to the original batched kernel) — including at an
+    unroll that does not divide the trip count."""
+    P = jnp.asarray(rng.randn(3, 300, 3), jnp.float32)
+    ref = ops.farthest_point_sample(P, 32, impl="xla")
+    for unroll in (1, 4):
+        got = _interpret_fps_stacked(P, 32, unroll)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_fps_stacked_kernel_near_origin_interpret(rng):
+    P = rng.randn(3, 300, 3).astype(np.float32)
+    P[0, 5] = 0.0
+    P[0, 250] = [0.018, 0.018, 0.0]
+    P[1, 0] = 0.0
+    P[2, 100:110] = 1e-4
+    P[2, 110] = [0.032, 0.0, 0.0]
+    P = jnp.asarray(P)
+    got = _interpret_fps_stacked(P, 32)
+    ref = ops.farthest_point_sample(P, 32, impl="xla")
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
