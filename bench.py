@@ -33,6 +33,46 @@ N_LR = 8192
 N_PATCH = 8192
 MAX_PATCHES = 32
 K_G, K_L, Q = 28, 21, 4
+
+# Committed serving defaults (bench_defaults.json at the repo root): the
+# DRIVER runs this bench with no env at all, so the measured-best serving
+# configuration must be data, not environment. Env vars still override every
+# key (the perf sweeps pin modes explicitly); an absent/empty file keeps the
+# long-standing single-dispatch defaults.
+_DEFAULTS_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "bench_defaults.json"
+)
+try:
+    with open(_DEFAULTS_FILE) as _fh:
+        _DEFAULTS = json.load(_fh)
+except (OSError, ValueError):
+    _DEFAULTS = {}
+
+
+def _flag(env, key, fallback=False):
+    v = os.environ.get(env)
+    if v is not None and v != "":
+        return v != "0"
+    return bool(_DEFAULTS.get(key, fallback))
+
+
+def _intval(env, key, fallback):
+    v = os.environ.get(env)
+    if v is not None and v != "":
+        return int(v)
+    return int(_DEFAULTS.get(key, fallback))
+
+
+# kernel-level knobs read from the environment at trace time: seed them from
+# the defaults file unless the caller pinned them
+for _env, _key in (
+    ("CPFN_FPS_STACKED", "fps_stacked"),
+    ("CPFN_FPS_UNROLL", "fps_unroll"),
+    ("CPFN_BQ_CHUNK", "bq_chunk"),
+):
+    if _key in _DEFAULTS and not os.environ.get(_env):
+        os.environ[_env] = str(_DEFAULTS[_key])
+
 N_CLOUDS = int(os.environ.get("CPFN_BENCH_CLOUDS", "12"))
 N_WARMUP = 2
 TRAINED = os.environ.get("CPFN_BENCH_TRAINED", "") not in ("", "0")
@@ -58,7 +98,7 @@ LOCAL_FEATURES = os.environ.get(
 # instead of the fixed max_patches stack — identical outputs
 # (tests/test_cascade_buckets.py), ~fraction of the LocalSPFN compute on
 # typical few-patch clouds. R=1 only.
-BUCKETED = os.environ.get("CPFN_BENCH_BUCKETED", "") not in ("", "0")
+BUCKETED = _flag("CPFN_BENCH_BUCKETED", "bucketed")
 BUCKETS = (8, 16, 32)
 # clouds per batched patch-count fetch in the bucketed path: one stacked
 # device->host scalar read per GROUP clouds (the per-cloud read paid a full
@@ -69,9 +109,9 @@ BUCKET_GROUP = int(os.environ.get("CPFN_BENCH_BUCKET_GROUP", "4"))
 # the whole group (overflow clouds re-run at a wider bucket) — identical
 # outputs (tests/test_cascade_packed.py), fewer dispatches per cloud than
 # single-dispatch AND a fraction of the padded LocalSPFN compute. R=1 only.
-PACKED = os.environ.get("CPFN_BENCH_PACKED", "") not in ("", "0")
-PACK_GROUP = int(os.environ.get("CPFN_BENCH_PACK_GROUP", "4"))
-PACK_WIDTH = int(os.environ.get("CPFN_BENCH_PACK_WIDTH", "8"))
+PACKED = _flag("CPFN_BENCH_PACKED", "packed")
+PACK_GROUP = _intval("CPFN_BENCH_PACK_GROUP", "pack_group", 4)
+PACK_WIDTH = _intval("CPFN_BENCH_PACK_WIDTH", "pack_width", 8)
 CKPT_DIR = os.environ.get("CPFN_BENCH_CKPT_DIR", "data_synth/checkpoints")
 BASELINE_CLOUDS_PER_SEC_PER_CHIP = 50.0 / 8.0
 # Warmup (compile) budget in seconds. The round-4 driver bench died rc=124
