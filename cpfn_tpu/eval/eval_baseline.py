@@ -9,6 +9,7 @@ cloud with no patches — for comparison against the full cascade.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import jax.numpy as jnp
@@ -30,6 +31,10 @@ def build_argparser():
     p.add_argument("--output_folder", default="data/TraceParts_v2_baselinespfn/")
     p.add_argument("--csv_dir", default="Dataset")
     p.add_argument("--first_n", type=int, default=-1)
+    p.add_argument("--resume", action="store_true",
+                   help="skip clouds with a cached rows_baseline/<stem>.json "
+                        "(row + per-primitive stats; this driver draws no "
+                        "RNG) — bit-identical CSVs vs an uninterrupted run")
     return p
 
 
@@ -55,8 +60,20 @@ def main(argv=None):
         columns=["Filename", "Primitive Id", "Mask", "Nb Points", "mIoU"]
     )
     mious = []
+    rows_dir = os.path.join(args.output_folder, "rows_baseline")
+    if args.resume:
+        os.makedirs(rows_dir, exist_ok=True)
     for i, path in enumerate(files):
         stem = os.path.basename(path).rsplit(".h5", 1)[0]
+        row_file = os.path.join(rows_dir, stem + ".json")
+        if args.resume and os.path.isfile(row_file):
+            with open(row_file) as fh:
+                cached = json.load(fh)
+            mious.append(cached["row"][0])
+            table.add(stem, *cached["row"])
+            for srow in cached["stats"]:
+                stats.add(stem, *srow)
+            continue
         rec = read_spfn_hdf5(path, k_g, conf.test_data_noisy, shuffle=False)
         spfn_dir = os.path.join(args.dir_spfn, stem)
         spfn_labels = np.load(os.path.join(spfn_dir, "object_seg.npy"))
@@ -81,11 +98,13 @@ def main(argv=None):
         mask_f = mask_f.astype(jnp.float32)
         miou_per_prim = 1.0 - compute_miou_loss(W_hard, I_gt_j, match_f)[0]
         _, counts = np.unique(rec["I_gt"], return_counts=True)
-        for j in range(len(counts)):
-            stats.add(
-                stem, j, float(mask_f[0, j]), int(counts[j]),
-                float(miou_per_prim[0, j]),
-            )
+        stats_rows = [
+            [j, float(mask_f[0, j]), int(counts[j]),
+             float(miou_per_prim[0, j])]
+            for j in range(len(counts))
+        ]
+        for srow in stats_rows:
+            stats.add(stem, *srow)
         m = metrics_fn(
             jnp.asarray(rec["P"])[None], X_f[None],
             jnp.asarray(rec["normal_gt"])[None], W_f[None],
@@ -97,14 +116,18 @@ def main(argv=None):
                 "cone_axis": jnp.asarray(rec["cone_axis_gt"])[None],
             },
         )
-        mious.append(float(m["mIoU"][0]))
-        table.add(
-            stem, float(m["mIoU"][0]), float(m["type_accuracy"][0]),
+        row_vals = [
+            float(m["mIoU"][0]), float(m["type_accuracy"][0]),
             float(m["normal_difference"][0]), float(m["axis_difference"][0]),
             float(m["mean_residual"][0]), float(m["std_residual"][0]),
             float(m["Sk_coverage"][0][0]), float(m["Sk_coverage"][1][0]),
             float(m["P_coverage"][0][0]), float(m["P_coverage"][1][0]),
-        )
+        ]
+        mious.append(row_vals[0])
+        table.add(stem, *row_vals)
+        if args.resume:
+            with open(row_file, "w") as fh:
+                json.dump({"row": row_vals, "stats": stats_rows}, fh)
         if i % 100 == 0:
             print(f"[{i}/{len(files)}] mIoU {np.mean(mious):.4f}", flush=True)
     table.write(os.path.join(args.output_folder, "Results_baseline.csv"))

@@ -12,6 +12,7 @@ object_normals, object_type).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import jax
@@ -57,6 +58,15 @@ def build_argparser():
     p.add_argument("--skip_existing", action="store_true",
                    help="skip clouds whose feature artifacts already exist "
                         "(resume an interrupted features_only pass)")
+    p.add_argument("--resume", action="store_true",
+                   help="full-eval resume: skip clouds whose per-cloud "
+                        "row.json cache exists (written after that cloud's "
+                        "artifacts), replaying its metrics row and burning "
+                        "its host-RNG permutations so all later clouds see "
+                        "the identical RNG stream — bit-identical Results.csv "
+                        "vs an uninterrupted run. The tunneled TPU backend "
+                        "occasionally drops mid-eval; without this a 256-cloud "
+                        "pass restarts from zero.")
     p.add_argument("--bf16", action="store_true",
                    help="bf16 matmul inputs (f32 accumulation) in the "
                    "GlobalSPFN forward — the TPU mixed-precision eval mode")
@@ -150,6 +160,22 @@ def main(argv=None):
             and os.path.isfile(os.path.join(out_dir, "local_feat.npy"))
         ):
             continue
+        row_file = os.path.join(out_dir, "row.json")
+        if (
+            args.resume
+            and not args.features_only
+            and os.path.isfile(row_file)
+        ):
+            # replay the cached row; burn this cloud's permutations so every
+            # later cloud draws the same RNG stream as an uninterrupted run
+            with open(row_file) as fh:
+                cached = json.load(fh)
+            if not args.stored_point_order:
+                for _ in range(max(1, args.n_shuffles)):
+                    perm_rng.permutation(int(cached["n_pts"]))
+            mious.append(cached["row"][0])
+            table.add(stem, *cached["row"])
+            continue
         rec = ds[i]
         os.makedirs(out_dir, exist_ok=True)
         n_pts = rec["P"].shape[0]
@@ -241,14 +267,20 @@ def main(argv=None):
                 np.asarray(global_feat[0]),
             )
             np.save(os.path.join(out_dir, "local_feat.npy"), local_feat)
-        mious.append(float(m["mIoU"][0]))
-        table.add(
-            stem, float(m["mIoU"][0]), float(m["type_accuracy"][0]),
+        row_vals = [
+            float(m["mIoU"][0]), float(m["type_accuracy"][0]),
             float(m["normal_difference"][0]), float(m["axis_difference"][0]),
             float(m["mean_residual"][0]), float(m["std_residual"][0]),
             float(m["Sk_coverage"][0][0]), float(m["Sk_coverage"][1][0]),
             float(m["P_coverage"][0][0]), float(m["P_coverage"][1][0]),
-        )
+        ]
+        mious.append(row_vals[0])
+        table.add(stem, *row_vals)
+        if args.resume:
+            # written AFTER the artifacts above: its existence implies the
+            # cloud is fully materialized on disk
+            with open(row_file, "w") as fh:
+                json.dump({"n_pts": int(n_pts), "row": row_vals}, fh)
         if i % 100 == 0:
             print(f"[{i}/{len(ds)}] mIoU {np.mean(mious):.4f}", flush=True)
     table.write(os.path.join(args.output_folder, "Results.csv"))

@@ -11,6 +11,7 @@ reference's schema.
 from __future__ import annotations
 
 import argparse
+import json
 import os
 
 import jax
@@ -57,6 +58,13 @@ def build_argparser():
                    "patch stack over independent point permutations, soft "
                    "outputs averaged after relaxed-IoU slot alignment "
                    "(eval/ensemble.py)")
+    p.add_argument("--resume", action="store_true",
+                   help="skip clouds with a cached rows/<stem>.json (row, "
+                        "per-primitive stats, dropped-cluster count), "
+                        "burning their host-RNG draws so later clouds see "
+                        "the identical stream — bit-identical CSVs vs an "
+                        "uninterrupted run. Recovery for tunnel drops "
+                        "mid-eval.")
     return p
 
 
@@ -78,11 +86,16 @@ def main(argv=None):
 
         model_cfg = dataclasses.replace(model_cfg, compute_dtype="bfloat16")
     params, state = init_pointnet2(jax.random.PRNGKey(0), model_cfg)
-    ckpt = args.weights or os.path.join(
-        conf.checkpoint_dir, f"localspfn_{round(args.scale, 2)}"
-    )
-    restored, _ = restore_checkpoint(ckpt, {"params": params, "state": state})
-    params, state = restored["params"], restored["state"]
+    if args.weights != "__random_init__":
+        # sentinel keeps the seeded init (tests / oracle-mode diagnostics),
+        # mirroring eval_global
+        ckpt = args.weights or os.path.join(
+            conf.checkpoint_dir, f"localspfn_{round(args.scale, 2)}"
+        )
+        restored, _ = restore_checkpoint(
+            ckpt, {"params": params, "state": state}
+        )
+        params, state = restored["params"], restored["state"]
 
     from cpfn_tpu.eval._util import make_metrics_fn
 
@@ -143,8 +156,27 @@ def main(argv=None):
     # tests/test_merging.py on realistic clouds)
     n_dropped_total = 0
     perm_rng = np.random.RandomState(1789)
+    rows_dir = os.path.join(args.output_folder, "rows")
+    if args.resume:
+        os.makedirs(rows_dir, exist_ok=True)
     for i, path in enumerate(files):
         stem = os.path.basename(path).rsplit(".h5", 1)[0]
+        row_file = os.path.join(rows_dir, stem + ".json")
+        if args.resume and os.path.isfile(row_file):
+            with open(row_file) as fh:
+                cached = json.load(fh)
+            if cached["had_patches"] and not args.stored_point_order:
+                # the per-cloud draw shape is fixed: burn to keep the stream
+                for _ in range(max(1, args.n_shuffles)):
+                    perm_rng.random(
+                        (args.max_patches, args.num_points_patch)
+                    )
+            mious.append(cached["row"][0])
+            table.add(stem, *cached["row"])
+            for srow in cached["stats"]:
+                stats.add(stem, *srow)
+            n_dropped_total += int(cached["n_dropped"])
+            continue
         rec = read_spfn_hdf5(path, k_g, conf.test_data_noisy, shuffle=False)
         spfn_dir = os.path.join(args.dir_spfn, stem)
         spfn_labels = np.load(os.path.join(spfn_dir, "object_seg.npy"))
@@ -220,8 +252,12 @@ def main(argv=None):
                 patch_mask=mask, out_width=k_g + k_l,
                 return_counts=True,
             )
-            n_dropped_total += max(0, int(n_valid) - (k_g + k_l))
+            cloud_dropped = max(0, int(n_valid) - (k_g + k_l))
+            n_dropped_total += cloud_dropped
+            had_draws = True
         else:
+            cloud_dropped = 0
+            had_draws = False
             n_patches = 0
             W_f, X_f, T_f = fuse_cascade(
                 np.zeros((0, args.num_points_patch, k_l), np.float32),
@@ -240,11 +276,13 @@ def main(argv=None):
         _ = compute_segmentation_iou(W_hard, I_gt, match, mask_f)
         miou_per_prim = 1.0 - compute_miou_loss(W_hard, I_gt, match)[0]
         _, counts = np.unique(rec["I_gt"], return_counts=True)
-        for j in range(len(counts)):
-            stats.add(
-                stem, j, float(mask_f[0, j]), int(counts[j]),
-                float(miou_per_prim[0, j]),
-            )
+        stats_rows = [
+            [j, float(mask_f[0, j]), int(counts[j]),
+             float(miou_per_prim[0, j])]
+            for j in range(len(counts))
+        ]
+        for srow in stats_rows:
+            stats.add(stem, *srow)
         m = metrics_fn(
             P_hr[None], X_f[None], jnp.asarray(rec["normal_gt"])[None],
             W_hard[:, :, : k_g + k_l], I_gt, T_f[None],
@@ -255,14 +293,23 @@ def main(argv=None):
                 "cone_axis": jnp.asarray(rec["cone_axis_gt"])[None],
             },
         )
-        mious.append(float(m["mIoU"][0]))
-        table.add(
-            stem, float(m["mIoU"][0]), float(m["type_accuracy"][0]),
+        row_vals = [
+            float(m["mIoU"][0]), float(m["type_accuracy"][0]),
             float(m["normal_difference"][0]), float(m["axis_difference"][0]),
             float(m["mean_residual"][0]), float(m["std_residual"][0]),
             float(m["Sk_coverage"][0][0]), float(m["Sk_coverage"][1][0]),
             float(m["P_coverage"][0][0]), float(m["P_coverage"][1][0]),
-        )
+        ]
+        mious.append(row_vals[0])
+        table.add(stem, *row_vals)
+        if args.resume:
+            with open(row_file, "w") as fh:
+                json.dump({
+                    "had_patches": had_draws,
+                    "row": row_vals,
+                    "stats": stats_rows,
+                    "n_dropped": cloud_dropped,
+                }, fh)
         if i % 100 == 0:
             print(f"[{i}/{len(files)}] mIoU {np.mean(mious):.4f}", flush=True)
     table.write(os.path.join(args.output_folder, "Results.csv"))

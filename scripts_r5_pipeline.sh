@@ -69,7 +69,7 @@ if [ ! -f $D/globalspfn_eval_g2/Results.csv ]; then
     --config_file configs/config_synth2_global_v2.yml \
     --lowres_dataset $D/lowres --highres_dataset $D/highres \
     --csv_dir $D/Dataset --path_patches $D/patches --scale 0.05 \
-    --output_folder $D/globalspfn_eval_g2 --evaluation_set test || exit 1
+    --output_folder $D/globalspfn_eval_g2 --evaluation_set test --resume || exit 1
   # (features NOT skipped: v11's eval needs global_feat + local_feat_full)
 fi
 bash scripts_archive_artifacts.sh "r5 g2 test eval" || true
@@ -127,7 +127,7 @@ if [ ! -f $D/eval_out_v11/Results_baseline.csv ]; then
   timeout 7200 python -m cpfn_tpu.eval.eval_baseline \
     --config_file configs/config_synth2_local_v11.yml \
     --highres_dataset $D/highres --dir_spfn $D/globalspfn_eval_g2 \
-    --csv_dir $D/Dataset --output_folder $D/eval_out_v11 || exit 1
+    --csv_dir $D/Dataset --output_folder $D/eval_out_v11 --resume || exit 1
 fi
 bash scripts_archive_artifacts.sh "r5 baseline eval" || true
 
@@ -161,7 +161,7 @@ if [ ! -f $D/eval_out_v11/Results.csv ]; then
     --highres_dataset $D/highres --lowres_dataset $D/lowres \
     --dir_spfn $D/globalspfn_eval_g2 --dir_indices $D/heatmaps \
     --csv_dir $D/Dataset --scale 0.05 \
-    --output_folder $D/eval_out_v11 || exit 1
+    --output_folder $D/eval_out_v11 --resume || exit 1
 fi
 if [ ! -f $D/eval_out_v11/compare.txt ]; then
   timeout 1200 python -m cpfn_tpu.eval.compare \
