@@ -63,6 +63,19 @@ bench_stage bench_fused_oracle_postbq.json CPFN_BENCH_FUSED=1
 bench_stage bench_bf16_oracle_postbq.json CPFN_BENCH_BF16=1
 bash scripts_archive_artifacts.sh "r5 fused/bf16 post-BQ rows" || true
 
+# ---- P3c: diagnostics for the round-5 optimization targets (exclusive TPU)
+if [ ! -s $PERF/phase_ledger.json ]; then
+  timeout 2400 python tools/phase_ledger.py 2> $PERF/phase_ledger.err \
+    | tee $PERF/phase_ledger.json
+  tail -3 $PERF/phase_ledger.err >&2
+fi
+if [ ! -s $PERF/fps_variants.json ]; then
+  timeout 2400 python tools/fps_variants_time.py 2> $PERF/fps_variants.err \
+    | tee $PERF/fps_variants.json
+  tail -3 $PERF/fps_variants.err >&2
+fi
+bash scripts_archive_artifacts.sh "r5 phase ledger + fps variants" || true
+
 # ---- P4: trained benches (v11 feature-injected local)
 if [ -d $B ]; then
   bench_stage bench_trained_v11.json CPFN_BENCH_TRAINED=1 \
