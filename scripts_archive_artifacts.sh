@@ -17,7 +17,11 @@ FAIL=0
 copydir() {  # copydir SRC DST — nested subdirs included (maxdepth 3)
   [ -d "$1" ] || return 0
   mkdir -p "$OUT/$2"
+  # rows*/row.json are the eval drivers' per-cloud --resume caches —
+  # operational state, not judge-relevant artifacts
   find "$1" -maxdepth 3 -type f \
+    -not -path '*/rows/*' -not -path '*/rows_baseline/*' \
+    ! -name 'row.json' \
     \( -name '*.csv' -o -name '*.json' -o -name '*.txt' \) \
     -size -512k -exec cp -t "$OUT/$2" {} + || FAIL=1
 }
