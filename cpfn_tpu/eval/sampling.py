@@ -70,8 +70,15 @@ def sample_patches_device(
     patch_valid [max_number_patches] bool, n_patches int32). Padding rows of
     patch_idx are zero.
     """
+    import os
+
     import jax.numpy as jnp
     from jax import lax
+
+    # trace-time knob (same pattern as CPFN_BQ_CHUNK): the k-NN selection per
+    # extracted patch as top_k instead of a full N-point argsort. Identical
+    # outputs; measured on hardware before becoming the default.
+    use_topk = os.environ.get("CPFN_EXTRACT_TOPK", "") not in ("", "0")
 
     def cond(st):
         pool, out, valid, count, key = st
@@ -89,8 +96,17 @@ def sample_patches_device(
             sel = jnp.argmax((csum == j + 1) & pool)
         seed = points_lr[sel]
         d_hr = jnp.linalg.norm(points_hr - seed[None, :], axis=1)
-        order = jnp.argsort(d_hr)[:num_points_patch].astype(jnp.int32)
-        radius = d_hr[order[-1]]
+        if use_topk:
+            # top_k of the negated distances = the k smallest, sorted
+            # ascending, ties to the lower index — exactly what the stable
+            # argsort prefix produces (pinned by test_sampling_topk_parity);
+            # avoids fully sorting all N distances per extracted patch
+            neg, order = lax.top_k(-d_hr, num_points_patch)
+            order = order.astype(jnp.int32)
+            radius = -neg[-1]
+        else:
+            order = jnp.argsort(d_hr)[:num_points_patch].astype(jnp.int32)
+            radius = d_hr[order[-1]]
         d_lr = jnp.linalg.norm(points_lr - seed[None, :], axis=1)
         pool = pool & (d_lr > radius)
         out = lax.dynamic_update_index_in_dim(out, order, count, axis=0)

@@ -93,3 +93,44 @@ def test_rescale_meta_roundtrip():
     prim = factory.create_primitive_from_dict(cone)
     np.testing.assert_allclose(prim.apex, ([1, 0, 0] - mean) / norm)
     assert prim.half_angle == 0.3
+
+
+def test_sampling_topk_parity(rng, monkeypatch):
+    """CPFN_EXTRACT_TOPK swaps the per-patch kNN selection from a stable
+    argsort prefix to lax.top_k on negated distances — outputs must be
+    IDENTICAL, including tie behavior (both resolve equal distances to the
+    lower index). Crafted duplicate points force exact distance ties."""
+    import jax
+    import jax.numpy as jnp
+
+    from cpfn_tpu.eval.sampling import sample_patches_device
+
+    n_hr, n_lr, npp = 1500, 200, 256
+    pts_hr = rng.randn(n_hr, 3).astype(np.float32)
+    # exact ties: duplicate runs of points at several radii from everywhere
+    pts_hr[200:230] = pts_hr[100:130]
+    pts_hr[700:704] = pts_hr[0]
+    pts_lr = pts_hr[rng.choice(n_hr, n_lr, replace=False)]
+    pool = rng.rand(n_lr) < 0.3
+    key = jax.random.PRNGKey(3)
+
+    def run():
+        # fresh jit so the trace re-reads the env knob
+        fn = jax.jit(
+            sample_patches_device.__wrapped__,
+            static_argnames=(
+                "num_points_patch", "max_number_patches", "deterministic"
+            ),
+        )
+        return fn(
+            jnp.asarray(pts_lr), jnp.asarray(pts_hr), jnp.asarray(pool),
+            key, num_points_patch=npp, max_number_patches=4,
+        )
+
+    monkeypatch.delenv("CPFN_EXTRACT_TOPK", raising=False)
+    idx_a, valid_a, count_a = run()
+    monkeypatch.setenv("CPFN_EXTRACT_TOPK", "1")
+    idx_b, valid_b, count_b = run()
+    np.testing.assert_array_equal(np.asarray(idx_a), np.asarray(idx_b))
+    np.testing.assert_array_equal(np.asarray(valid_a), np.asarray(valid_b))
+    assert int(count_a) == int(count_b)

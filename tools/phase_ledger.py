@@ -117,6 +117,20 @@ def main():
     prog("patch_extraction")
     res["patch_extraction_ms"] = round(_t(lambda: extract(key)[0]), 2)
 
+    # top_k kNN-selection variant (CPFN_EXTRACT_TOPK, identical outputs —
+    # tests/test_preprocess.py::test_sampling_topk_parity); fresh jit so the
+    # trace re-reads the env knob
+    os.environ["CPFN_EXTRACT_TOPK"] = "1"
+    extract_tk = jax.jit(
+        lambda k: sample_patches_device.__wrapped__(
+            P_lr_j, P_hr_j, pool_j, k,
+            num_points_patch=NPP, max_number_patches=MAXP,
+        )
+    )
+    prog("patch_extraction_topk")
+    res["patch_extraction_topk_ms"] = round(_t(lambda: extract_tk(key)[0]), 2)
+    del os.environ["CPFN_EXTRACT_TOPK"]
+
     # ---- staged phase-1 outputs for phase-2 pieces --------------------------
     staged = runner._phase1_device(
         gm.params, gm.state, P_hr_j, P_lr_j, pool_j, key
