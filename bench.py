@@ -69,6 +69,7 @@ for _env, _key in (
     ("CPFN_FPS_STACKED", "fps_stacked"),
     ("CPFN_FPS_UNROLL", "fps_unroll"),
     ("CPFN_BQ_CHUNK", "bq_chunk"),
+    ("CPFN_EXTRACT_TOPK", "extract_topk"),
 ):
     if _key in _DEFAULTS and not os.environ.get(_env):
         os.environ[_env] = str(_DEFAULTS[_key])
