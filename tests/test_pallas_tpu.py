@@ -183,3 +183,19 @@ def test_lowres_seeded_fps_pallas_on_tpu(rng):
     lowres._device_fps_fn.cache_clear()
     np.testing.assert_array_equal(np.asarray(sx), np.asarray(sp))
     np.testing.assert_array_equal(np.asarray(rx), np.asarray(rp))
+
+
+def test_fps_stacked_pallas_matches_xla(rng):
+    """Round-5 stacked-plane FPS rework: bit-parity on hardware at the
+    cascade shapes and at an unroll that does not divide the trip count."""
+    from cpfn_tpu import ops
+    from cpfn_tpu.ops.pallas_kernels import (
+        _farthest_point_sample_pallas_stacked,
+    )
+
+    for B, N, m in [(4, 8192, 512), (32, 8192, 512)]:
+        P = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
+        a = np.asarray(ops.farthest_point_sample(P, m, impl="xla"))
+        for unroll in (1, 4):
+            b = np.asarray(_farthest_point_sample_pallas_stacked(P, m, unroll))
+            np.testing.assert_array_equal(a, b)
