@@ -82,8 +82,11 @@ TRAINED = os.environ.get("CPFN_BENCH_TRAINED", "") not in ("", "0")
 WORST = os.environ.get("CPFN_BENCH_WORST", "") not in ("", "0")
 # bf16 matmul inputs (f32 accumulation) in every network forward — the TPU
 # mixed-precision eval recipe; quality parity vs f32 is validated in
-# QUALITY.md before this can become the default
-BF16 = os.environ.get("CPFN_BENCH_BF16", "") not in ("", "0")
+# QUALITY.md (r4 256-cloud eval: bf16 within noise of f32). Defaults-file
+# key so the measured-best precision is committed data like the serving
+# mode: post-BQ-rework the bytes win finally lands (8.33 vs 6.32 clouds/s
+# single-dispatch oracle, r5 clean sweep).
+BF16 = _flag("CPFN_BENCH_BF16", "bf16")
 # shuffle-ensemble width in the single-dispatch cascade (eval/ensemble.py);
 # 1 = the single-forward serving path, >1 trades throughput for quality
 SHUFFLES = int(os.environ.get("CPFN_BENCH_SHUFFLES", "1"))

@@ -61,7 +61,11 @@ def main():
         print(f"[fps_variants] {name} batched {row['batched_ms']} ms",
               file=sys.stderr, flush=True)
 
-        for unroll in (1, 2, 4, 8):
+        # Mosaic's scan lowering supports only unroll=1 or full unroll
+        # (NotImplementedError at lowering for 2/4/8, measured 2026-08-21);
+        # full unroll of a 511-step loop is compile-time-prohibitive over
+        # the tunnel, so the sweep is u1 vs the batched kernel only.
+        for unroll in (1,):
             got = np.asarray(
                 _farthest_point_sample_pallas_stacked(pts, S, unroll)
             )
