@@ -356,9 +356,15 @@ def _fps_dispatch(points: jax.Array, num_samples: int) -> jax.Array:
         # round-5 latency rework, opt-in until the hardware sweep
         # (tools/fps_variants_time.py) decides the default; bit-identical
         if os.environ.get("CPFN_FPS_STACKED", "") not in ("", "0"):
+            # Mosaic lowers fori_loop only at unroll=1 or a full unroll of
+            # the trip count; clamp anything else to 1 instead of failing
+            # at compile (measured: partial unrolls raise NotImplementedError
+            # in mosaic/lowering.py on hardware, 2026-08-21)
+            unroll = int(os.environ.get("CPFN_FPS_UNROLL", "1"))
+            if unroll not in (1, num_samples - 1):
+                unroll = 1
             return _farthest_point_sample_pallas_stacked(
-                points, num_samples,
-                unroll=int(os.environ.get("CPFN_FPS_UNROLL", "4")),
+                points, num_samples, unroll=unroll,
             )
         return _farthest_point_sample_pallas_batched(points, num_samples)
     n_pad = -(-N // _LANES) * _LANES
@@ -490,10 +496,17 @@ def _fps_batched_kernel_stacked(
     jax.jit, static_argnames=("num_samples", "unroll")
 )
 def _farthest_point_sample_pallas_stacked(
-    points: jax.Array, num_samples: int, unroll: int = 4
+    points: jax.Array, num_samples: int, unroll: int = 1
 ) -> jax.Array:
     """[B, N, 3] -> [B, num_samples] int32 via the stacked-plane batched
-    kernel; bit-identical to `_farthest_point_sample_pallas_batched`."""
+    kernel; bit-identical to `_farthest_point_sample_pallas_batched`.
+
+    On hardware, Mosaic's scan lowering accepts only unroll=1 or a full
+    unroll of the trip count (num_samples - 1) — the env dispatch in
+    `farthest_point_sample_pallas` clamps accordingly; partial unrolls
+    stay exercisable in interpret mode (tests/test_pallas_interpret.py
+    calls the kernel via `__wrapped__`).
+    """
     B, N, _ = points.shape
     n_pad = -(-N // _LANES) * _LANES
     coords = jnp.moveaxis(points, -1, 1)  # [B, 3, N]

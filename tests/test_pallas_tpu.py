@@ -187,7 +187,11 @@ def test_lowres_seeded_fps_pallas_on_tpu(rng):
 
 def test_fps_stacked_pallas_matches_xla(rng):
     """Round-5 stacked-plane FPS rework: bit-parity on hardware at the
-    cascade shapes and at an unroll that does not divide the trip count."""
+    cascade shapes. Mosaic's scan lowering supports only unroll=1 or a
+    full unroll of the trip count (NotImplementedError otherwise,
+    verified on hardware 2026-08-21), so only the lowerable u1 variant
+    is exercised here; interpret-mode parity for the unroll logic lives
+    in test_ops.py."""
     from cpfn_tpu import ops
     from cpfn_tpu.ops.pallas_kernels import (
         _farthest_point_sample_pallas_stacked,
@@ -196,6 +200,6 @@ def test_fps_stacked_pallas_matches_xla(rng):
     for B, N, m in [(4, 8192, 512), (32, 8192, 512)]:
         P = jnp.asarray(rng.randn(B, N, 3), jnp.float32)
         a = np.asarray(ops.farthest_point_sample(P, m, impl="xla"))
-        for unroll in (1, 4):
+        for unroll in (1,):
             b = np.asarray(_farthest_point_sample_pallas_stacked(P, m, unroll))
             np.testing.assert_array_equal(a, b)
