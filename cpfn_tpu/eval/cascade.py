@@ -761,6 +761,76 @@ class CascadeRunner:
         for o in outs:
             np.asarray(o[0].ravel()[:1])
 
+    def precompile_packed(
+        self, cloud, group: int = 4, width: int = 8, buckets=(8, 16, 32),
+        key=None,
+    ):
+        """Warm exactly the graph set the PACKED serving loop can reach,
+        and nothing else: the group-vmapped phase 1 and phase 2, plus the
+        per-cloud overflow phase-2 re-run at each bucket width strictly
+        greater than `width` (overflow slices the packed staged arrays —
+        see run_clouds_packed drain() — so the per-cloud phase-1 graph is
+        unreachable from this path, and buckets <= width are never chosen
+        by the overflow width search).
+
+        `precompile_buckets` warms two graphs the packed loop never
+        dispatches — per-cloud phase 1 (the largest single executable:
+        full 100k global forward + extraction) and phase 2 at the packed
+        width. On the tunneled runtime every extra executable load is
+        minutes-scale with heavy variance (warmups measured 692 s and
+        >1200 s for the identical committed cache set, 2026-08-21), so the
+        driver-mode bench warms via this method instead.
+        """
+        P_hr, P_lr, pool_mask = cloud
+        key = key if key is not None else jax.random.PRNGKey(0)
+        group = max(1, int(group))
+        width = min(int(width), self.max_patches)
+        keys_ = jnp.stack(list(jax.random.split(key, group)))
+        P_hr_g = jnp.asarray(
+            np.broadcast_to(np.asarray(P_hr, np.float32),
+                            (group,) + np.shape(P_hr)).copy()
+        )
+        P_lr_g = jnp.asarray(
+            np.broadcast_to(np.asarray(P_lr, np.float32),
+                            (group,) + np.shape(P_lr)).copy()
+        )
+        gm, lm = self.global_model, self.local_model
+        lp, ls = lm.params, lm.state
+        if pool_mask is None:
+            pm = self.patchselec_model
+            staged = self._phase1_batch_ps(
+                gm.params, gm.state, pm.params, pm.state,
+                P_hr_g, P_lr_g, keys_,
+            )
+        else:
+            pool_g = jnp.asarray(
+                np.broadcast_to(np.asarray(pool_mask, bool),
+                                (group,) + np.shape(pool_mask)).copy()
+            )
+            staged = self._phase1_batch(
+                gm.params, gm.state, P_hr_g, P_lr_g, pool_g, keys_
+            )
+        feat = (
+            (staged["global_feat"], staged["loc_feat"])
+            if self._use_lfeat else ()
+        )
+        outs = [self._phase2_packed(
+            lp, ls, P_hr_g, staged["idx"], staged["mask"],
+            staged["W_hard"], staged["X_g"], staged["T_g"], *feat,
+            staged["count"], width,
+        )]
+        over_feat = tuple(f[0] for f in feat)
+        for b in sorted(set(min(b, self.max_patches) for b in buckets)):
+            if b <= width:
+                continue
+            outs.append(self._phase2_device(
+                lp, ls, P_hr_g[0], staged["idx"][0, :b],
+                staged["mask"][0, :b], staged["W_hard"][0],
+                staged["X_g"][0], staged["T_g"][0], *over_feat,
+            ))
+        for o in outs:
+            np.asarray(o[0].ravel()[:1])
+
     def run_clouds_bucketed(
         self, clouds, key=None, lag: int = 3, buckets=(8, 16, 32),
         group: int = 4,

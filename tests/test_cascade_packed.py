@@ -168,3 +168,26 @@ def test_packed_ps_pool_path(runner):
     assert len(ref) == len(got) == 3
     for r, g in zip(ref, got):
         _assert_cloud_match(r, g)
+
+
+def test_precompile_packed_then_run(runner):
+    """The lean driver-mode warmup (precompile_packed) must compile every
+    graph the packed loop reaches — running the stream right after it must
+    produce single-dispatch-identical results for few/dense(overflow)/empty
+    pools and the PS-pool path (no mid-stream graph surprises)."""
+    key = jax.random.PRNGKey(3)
+    runner.precompile_packed(_cloud(1), group=2, width=4, buckets=(4, 8))
+    runner.precompile_packed(
+        _cloud(1, "ps"), group=2, width=4, buckets=(4, 8)
+    )
+    oracle = [_cloud(1), _cloud(2, "dense"), _cloud(4, "empty")]
+    ps = [_cloud(6, "ps"), _cloud(7, "ps")]
+    for clouds in (oracle, ps):  # pool kinds don't mix within one stream
+        ref = list(runner.run_clouds_device(clouds, key=key))
+        got = list(
+            runner.run_clouds_packed(
+                clouds, key=key, group=2, width=4, buckets=(4, 8)
+            )
+        )
+        for r, g in zip(ref, got):
+            _assert_cloud_match(r, g)
